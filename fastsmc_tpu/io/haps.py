@@ -250,7 +250,8 @@ def _rec_rates(genetic_positions: np.ndarray, physical_positions: np.ndarray
     if n > 1:
         dg = np.diff(genetic_positions)
         dp = np.diff(physical_positions).astype(np.float64)
-        rates[1:] = dg / dp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rates[1:] = dg / dp
         rates[0] = rates[1]
     return rates
 
