@@ -1,0 +1,371 @@
+"""Pallas TPU kernels for the batched forward-backward decoder.
+
+This is the speed-of-light compute path.  The XLA ``lax.scan`` engine
+(engine/hmm.py) pays a fixed ~15us per scan iteration on TPU; these kernels
+run the genome loop as a Pallas grid with the recursion carry resident in
+VMEM, cutting the per-step cost to the DMA/matmul floor.
+
+Design (per SURVEY.md §7 and the dense-operator reformulation in
+engine/dense.py):
+
+  * grid = (T,) over genome positions; carry [Kc, P] lives in a VMEM scratch
+    that persists across sequential grid steps;
+  * per-step dense transition operators (128x128 padded, float32) are
+    gathered from HBM by ``PrefetchScalarGridSpec`` index maps — the Pallas
+    pipeline double-buffers the DMA behind the matmul automatically;
+  * emissions are reconstructed in-kernel from the 3 per-site component rows
+    and the per-pair observation bits:
+        em = em1 + em0minus1 * obsIsZero + em2minus0 * obsIsHomMinor
+    (mirrors HMM.cpp:827-828);
+  * the backward kernel fuses beta recursion, posterior combine, and the
+    reduction outputs (posterior sums over pairs, per-pair posterior means,
+    MAP states, IBD threshold sums), so the full [T, K, P] posterior never
+    has to be materialised unless explicitly requested.
+
+K (number of TMRCA states) must be <= 128; compute is padded to Kc = 128
+lanes. All math float32 (reference NO_SSE semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dense import build_dense_operators
+from .oracle import DecodeContext
+
+KC = 128  # padded state (compute) dimension
+
+
+def _round8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, x0_ref,
+                alpha_ref, carry):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        carry[:] = x0_ref[:]
+
+    @pl.when(t > 0)
+    def _():
+        e = em_ref[0]                     # [3, KC]
+        o = obs_ref[0]                    # [2, P]
+        em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
+              + e[2][:, None] * o[1][None, :])
+        c = jnp.dot(m_ref[0], carry[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        c = c * em
+        s = jnp.sum(c, axis=0, keepdims=True)
+        inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
+        carry[:] = c * inv
+
+    alpha_ref[0] = carry[:]
+
+
+# ---------------------------------------------------------------------------
+# backward + combine kernel (factory: reduction outputs are compile-time)
+# ---------------------------------------------------------------------------
+
+class BwdOutputs(NamedTuple):
+    posterior: bool = True
+    posterior_sums: bool = False
+    per_pair_mean: bool = False
+    per_pair_map: bool = False           # argmax_k posterior (state index)
+    threshold_sums: bool = False         # sum_{k < state_threshold} posterior
+
+
+def _make_bwd_kernel(outs: BwdOutputs, K: int, state_threshold: int):
+    def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, alpha_ref,
+               exp_ref, *out_and_scratch):
+        refs = list(out_and_scratch)
+        out_refs = {}
+        for name in ("posterior", "posterior_sums", "per_pair_mean",
+                     "per_pair_map", "threshold_sums"):
+            if getattr(outs, name):
+                out_refs[name] = refs.pop(0)
+        carry, = refs
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            # lastBeta = 1/K on real states (HMM.cpp:886-897)
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+            init = jnp.where(k_idx < K, 1.0 / K, 0.0).astype(jnp.float32)
+            carry[:] = jnp.broadcast_to(init, carry.shape)
+
+        @pl.when(t > 0)
+        def _():
+            e = em_ref[0]                 # [3, KC] at pos+1
+            o = obs_ref[0]                # [2, P] at pos+1
+            em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
+                  + e[2][:, None] * o[1][None, :])
+            vec = carry[:] * em
+            c = jnp.dot(m_ref[0], vec, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            s = jnp.sum(c, axis=0, keepdims=True)
+            inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
+            carry[:] = c * inv
+
+        post = alpha_ref[0] * carry[:]
+        post = post / jnp.sum(post, axis=0, keepdims=True)
+
+        if outs.posterior:
+            out_refs["posterior"][0] = post
+        if outs.posterior_sums:
+            out_refs["posterior_sums"][0, 0] = jnp.sum(post, axis=1)
+        if outs.per_pair_mean:
+            out_refs["per_pair_mean"][0, 0] = jnp.sum(
+                post * exp_ref[0][:, None], axis=0)
+        if outs.per_pair_map:
+            out_refs["per_pair_map"][0, 0] = jnp.argmax(
+                post, axis=0).astype(jnp.float32)
+        if outs.threshold_sums:
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, post.shape, 0)
+            masked = jnp.where(k_idx < state_threshold, post, 0.0)
+            out_refs["threshold_sums"][0, 0] = jnp.sum(masked, axis=0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class PallasDecoder:
+    """Device-resident model tables + Pallas decode kernels.
+
+    The TPU production engine; interface-compatible with
+    :class:`fastsmc_tpu.engine.hmm.BatchedDecoder` but with fused reduction
+    outputs and a far lower per-step cost.
+    """
+
+    def __init__(self, ctx: DecodeContext, interpret: bool = False):
+        self.ctx = ctx
+        dq = ctx.dq
+        K = dq.states
+        if K > KC:
+            raise ValueError(f"states={K} > {KC} not supported by the "
+                             f"Pallas kernel yet")
+        self.K = K
+        self.L = ctx.data.sites
+        self.interpret = interpret
+        if ctx.params.decoding_sequence:
+            raise NotImplementedError(
+                "sequence mode uses the XLA engine (BatchedDecoder) for now")
+
+        # dense operators, padded to [G, KC, KC]
+        used = np.unique(np.concatenate(
+            [np.asarray(ctx.gap_idx),
+             np.asarray([int(dq.gen_dist_index(np.float32(0.0)))])]))
+        remap = np.full(len(dq.gen_dists), -1, np.int32)
+        remap[used] = np.arange(len(used), dtype=np.int32)
+        Tf, Tb = build_dense_operators(dq.D[used], dq.B[used], dq.U[used],
+                                       dq.RR[used], dq.column_ratios)
+        G = len(used)
+        Mf = np.zeros((G, KC, KC), np.float32)
+        Mb = np.zeros((G, KC, KC), np.float32)
+        Mf[:, :K, :K] = Tf
+        Mb[:, :K, :K] = Tb
+        self.Mf = jnp.asarray(Mf)
+        self.Mb = jnp.asarray(Mb)
+        self._identity_op = int(remap[int(dq.gen_dist_index(np.float32(0.0)))])
+        self.gap_op = remap[np.asarray(ctx.gap_idx)]   # [L-1]
+
+        # emission component tables [L, 3, KC]
+        e = ctx.emissions
+        em = np.zeros((self.L, 3, KC), np.float32)
+        em[:, 0, :K] = e.em1
+        em[:, 1, :K] = e.em0minus1
+        em[:, 2, :K] = e.em2minus0
+        self.em = jnp.asarray(em)
+
+        isp = np.zeros(KC, np.float32)
+        isp[:K] = dq.initial_state_prob
+        self.isp = jnp.asarray(isp)
+        expt = np.zeros((1, KC), np.float32)
+        expt[0, :K] = dq.expected_times
+        self.exp_times = jnp.asarray(expt)
+        self.hap_bits = jnp.asarray(ctx.data.hap_bits)  # uint8 [H, L]
+        self._scaling_skip = ctx.scaling_skip
+
+    # ------------------------------------------------------------------
+    def _window_host(self, t0: int, t_len: int):
+        real = min(t_len, self.L - t0)
+        pad = t_len - real
+        ops = self.gap_op[t0:t0 + real - 1]
+        if pad:
+            ops = np.concatenate(
+                [ops, np.full(pad, self._identity_op, ops.dtype)])
+        pos = np.arange(t0, t0 + t_len)
+        fwd_mask = ((pos % self._scaling_skip) == 0).astype(np.int32)
+        return real, pad, np.ascontiguousarray(ops.astype(np.int32)), fwd_mask
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    def _decode_jit(self, hap_a, hap_b, t0: int, t_len: int,
+                    outs: BwdOutputs, state_threshold: int):
+        K, L, P = self.K, self.L, hap_a.shape[0]
+        real, pad, ops_np, fwd_mask_np = self._window_host(t0, t_len)
+        T = t_len
+
+        # --- build observations [T, 2, P] ---------------------------------
+        a = self.hap_bits[hap_a][:, t0:t0 + real]   # [P, real]
+        b = self.hap_bits[hap_b][:, t0:t0 + real]
+        xor = (a ^ b).astype(jnp.float32)
+        hom = (a & b).astype(jnp.float32)
+        if pad:
+            xor = jnp.pad(xor, ((0, 0), (0, pad)), constant_values=1.0)
+            hom = jnp.pad(hom, ((0, 0), (0, pad)), constant_values=0.0)
+        obs = jnp.stack([1.0 - xor.T, hom.T], axis=1)   # [T, 2, P]
+
+        # --- emission tables [T, 3, KC], padded positions -> identity -----
+        em = self.em[t0:t0 + real]
+        if pad:
+            pad_tab = np.zeros((pad, 3, KC), np.float32)
+            pad_tab[:, 0, :] = 1.0
+            em = jnp.concatenate([em, jnp.asarray(pad_tab)], axis=0)
+
+        # ops_f[t] = operator for step t (t=0 slot is an unused identity);
+        # ops_b[T-1-t] = operator for backward step t (slot T-1 unused identity)
+        ident = np.int32(self._identity_op)
+        ops_f = jnp.asarray(np.concatenate([[ident], ops_np]))
+        ops_b = jnp.asarray(np.concatenate([ops_np, [ident]]))
+        fwd_mask = jnp.asarray(fwd_mask_np)
+
+        # --- initial alpha -------------------------------------------------
+        e0 = em[0]
+        em_first = (e0[0][:, None] + e0[1][:, None] * obs[0, 0][None, :]
+                    + e0[2][:, None] * obs[0, 1][None, :])
+        x0 = self.isp[:, None] * em_first
+        x0 = x0 / jnp.sum(x0, axis=0, keepdims=True)
+
+        interp = self.interpret
+
+        # --- forward -------------------------------------------------------
+        fwd_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # ops, mask
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, KC, KC),
+                             lambda t, ops, mask: (ops[t], 0, 0)),
+                pl.BlockSpec((1, 3, KC), lambda t, ops, mask: (t, 0, 0)),
+                pl.BlockSpec((1, 2, P), lambda t, ops, mask: (t, 0, 0)),
+                pl.BlockSpec((KC, P), lambda t, ops, mask: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, KC, P),
+                                   lambda t, ops, mask: (t, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
+        )
+        alpha = pl.pallas_call(
+            _fwd_kernel, grid_spec=fwd_grid,
+            out_shape=jax.ShapeDtypeStruct((T, KC, P), jnp.float32),
+            interpret=interp,
+        )(ops_f, fwd_mask, self.Mf, em, obs, x0)
+
+        # --- backward + combine -------------------------------------------
+        # grid step t: pos = T-1-t; beta transition uses gap (pos, pos+1)
+        # = ops[pos] and emission/obs at pos+1; t=0 only combines at T-1.
+        bwd_mask_np = np.zeros(T, np.int32)
+        # reference scales when pos % skip == 0, pos = T-1-t (HMM.cpp:931)
+        pos_arr = t0 + (T - 1) - np.arange(T)
+        bwd_mask_np = ((pos_arr % self._scaling_skip) == 0).astype(np.int32)
+        bwd_mask = jnp.asarray(bwd_mask_np)
+
+        kernel = _make_bwd_kernel(outs, K, state_threshold)
+        out_shapes = []
+        out_specs = []
+        if outs.posterior:
+            out_shapes.append(jax.ShapeDtypeStruct((T, KC, P), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, KC, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+        if outs.posterior_sums:
+            out_shapes.append(jax.ShapeDtypeStruct((T, 1, KC), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, KC), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+        if outs.per_pair_mean:
+            out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+        if outs.per_pair_map:
+            out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+        if outs.threshold_sums:
+            out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+
+        def em_obs_idx(t, ops, mask):
+            # pos+1 = T - t for t >= 1; unused (valid) slot T-1 at t=0
+            return (T - jnp.maximum(t, 1), 0, 0)
+
+        bwd_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, KC, KC),
+                             lambda t, ops, mask: (ops[T - 1 - t], 0, 0)),
+                pl.BlockSpec((1, 3, KC), em_obs_idx),
+                pl.BlockSpec((1, 2, P), em_obs_idx),
+                pl.BlockSpec((1, KC, P),
+                             lambda t, ops, mask: (T - 1 - t, 0, 0)),
+                pl.BlockSpec((1, KC), lambda t, ops, mask: (0, 0)),
+            ],
+            out_specs=tuple(out_specs),
+            scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
+        )
+        results = pl.pallas_call(
+            kernel, grid_spec=bwd_grid,
+            out_shape=tuple(out_shapes),
+            interpret=interp,
+        )(ops_b, bwd_mask, self.Mb, em, obs, alpha, self.exp_times)
+        if not isinstance(results, (tuple, list)):
+            results = (results,)
+
+        named = {}
+        i = 0
+        for name in ("posterior", "posterior_sums", "per_pair_mean",
+                     "per_pair_map", "threshold_sums"):
+            if getattr(outs, name):
+                r = results[i]
+                i += 1
+                if name == "posterior":
+                    r = r[:, :K, :]
+                elif name == "posterior_sums":
+                    r = r[:, 0, :K]
+                else:
+                    r = r[:, 0, :]
+                named[name] = r
+        return named
+
+    # ------------------------------------------------------------------
+    def decode_pairs(self, hap_a, hap_b, t0: int = 0,
+                     t_len: Optional[int] = None,
+                     outputs: BwdOutputs = BwdOutputs(),
+                     state_threshold: int = 0) -> dict:
+        """Decode a batch of hap pairs over [t0, t0+t_len).
+
+        Returns a dict with the requested outputs:
+          posterior       [T, K, P]
+          posterior_sums  [T, K]     (sum over pairs)
+          per_pair_mean   [T, P]     (sum_k posterior * expectedTimes)
+          per_pair_map    [T, P]     (argmax_k posterior, as float32)
+          threshold_sums  [T, P]     (sum_{k < state_threshold} posterior)
+        """
+        t_len = self.L - t0 if t_len is None else t_len
+        return self._decode_jit(jnp.asarray(hap_a), jnp.asarray(hap_b),
+                                int(t0), int(t_len), outputs,
+                                int(state_threshold))
