@@ -132,15 +132,18 @@ class BatchedDecoder:
             if seq:
                 (op, e1, e01, e20, oz, oh, mask, sop, rop, hem) = xs
                 mid = hem[:, None] * jnp.dot(Tf[sop], carry,
-                                             preferred_element_type=jnp.float32)
+                                             preferred_element_type=jnp.float32,
+                                             precision=jax.lax.Precision.HIGHEST)
                 em = self._emission(e1, e01, e20, oz, oh)
                 nxt = em * jnp.dot(Tf[rop], mid,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
             else:
                 (op, e1, e01, e20, oz, oh, mask) = xs
                 em = self._emission(e1, e01, e20, oz, oh)
                 nxt = em * jnp.dot(Tf[op], carry,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
             nxt = self._normalize(nxt, mask)
             return nxt, nxt
 
@@ -162,15 +165,18 @@ class BatchedDecoder:
             if seq:
                 (op, e1, e01, e20, oz, oh, mask, sop_b, rop, hem) = xs
                 mid = jnp.dot(Tb[sop_b], carry * hem[:, None],
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
                 em_next = self._emission(e1, e01, e20, oz, oh)
                 prev = jnp.dot(Tb[rop], mid * em_next,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
             else:
                 (op, e1, e01, e20, oz, oh, mask) = xs
                 em_next = self._emission(e1, e01, e20, oz, oh)
                 prev = jnp.dot(Tb[op], carry * em_next,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
             prev = self._normalize(prev, mask)
             return prev, prev
 

@@ -85,15 +85,19 @@ class BwdOutputs(NamedTuple):
     per_pair_mean: bool = False
     per_pair_map: bool = False           # argmax_k posterior (state index)
     threshold_sums: bool = False         # sum_{k < state_threshold} posterior
+    major_minor_sums: bool = False       # 00/01/11-partitioned pair sums
+
+
+_OUT_NAMES = ("posterior", "posterior_sums", "per_pair_mean",
+              "per_pair_map", "threshold_sums", "major_minor_sums")
 
 
 def _make_bwd_kernel(outs: BwdOutputs, K: int, state_threshold: int):
-    def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, alpha_ref,
-               exp_ref, *out_and_scratch):
+    def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, obs_cur_ref,
+               alpha_ref, exp_ref, *out_and_scratch):
         refs = list(out_and_scratch)
         out_refs = {}
-        for name in ("posterior", "posterior_sums", "per_pair_mean",
-                     "per_pair_map", "threshold_sums"):
+        for name in _OUT_NAMES:
             if getattr(outs, name):
                 out_refs[name] = refs.pop(0)
         carry, = refs
@@ -137,6 +141,18 @@ def _make_bwd_kernel(outs: BwdOutputs, K: int, state_threshold: int):
             k_idx = jax.lax.broadcasted_iota(jnp.int32, post.shape, 0)
             masked = jnp.where(k_idx < state_threshold, post, 0.0)
             out_refs["threshold_sums"][0, 0] = jnp.sum(masked, axis=0)
+        if outs.major_minor_sums:
+            # classification per pair at this site (augmentSumOverPairs,
+            # HMM.cpp:1063-1069): homMinor -> 11; obsBits == 0 -> 00; else 01
+            oz = obs_cur_ref[0, 0][None, :]
+            oh = obs_cur_ref[0, 1][None, :]
+            w11 = oh
+            w00 = oz * (1.0 - oh)
+            w01 = 1.0 - oz
+            r = out_refs["major_minor_sums"]
+            r[0, 0] = jnp.sum(post * w00, axis=1)
+            r[0, 1] = jnp.sum(post * w01, axis=1)
+            r[0, 2] = jnp.sum(post * w11, axis=1)
 
     return kernel
 
@@ -203,47 +219,46 @@ class PallasDecoder:
         self._scaling_skip = ctx.scaling_skip
 
     # ------------------------------------------------------------------
-    def _window_host(self, t0: int, t_len: int):
-        real = min(t_len, self.L - t0)
-        pad = t_len - real
-        ops = self.gap_op[t0:t0 + real - 1]
-        if pad:
-            ops = np.concatenate(
-                [ops, np.full(pad, self._identity_op, ops.dtype)])
-        pos = np.arange(t0, t0 + t_len)
-        fwd_mask = ((pos % self._scaling_skip) == 0).astype(np.int32)
-        return real, pad, np.ascontiguousarray(ops.astype(np.int32)), fwd_mask
-
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
-    def _decode_jit(self, hap_a, hap_b, t0: int, t_len: int,
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _decode_jit(self, hap_a, hap_b, t0, t_len: int,
                     outs: BwdOutputs, state_threshold: int):
+        """t0 is a traced scalar so arbitrary decode windows share one
+        compilation per (P, t_len) bucket."""
         K, L, P = self.K, self.L, hap_a.shape[0]
-        real, pad, ops_np, fwd_mask_np = self._window_host(t0, t_len)
         T = t_len
+        t0 = jnp.asarray(t0, jnp.int32)
+        real = jnp.minimum(T, L - t0)           # traced
 
-        # --- build observations [T, 2, P] ---------------------------------
-        a = self.hap_bits[hap_a][:, t0:t0 + real]   # [P, real]
-        b = self.hap_bits[hap_b][:, t0:t0 + real]
-        xor = (a ^ b).astype(jnp.float32)
-        hom = (a & b).astype(jnp.float32)
-        if pad:
-            xor = jnp.pad(xor, ((0, 0), (0, pad)), constant_values=1.0)
-            hom = jnp.pad(hom, ((0, 0), (0, pad)), constant_values=0.0)
+        site_idx = t0 + jnp.arange(T, dtype=jnp.int32)
+        valid = site_idx < L
+        site_idx_c = jnp.minimum(site_idx, L - 1)
+
+        # --- observations [T, 2, P]; padded tail -> oz=1, oh=0 -------------
+        a = jnp.take(self.hap_bits[hap_a], site_idx_c, axis=1)  # [P, T]
+        b = jnp.take(self.hap_bits[hap_b], site_idx_c, axis=1)
+        xor = jnp.where(valid[None, :], (a ^ b).astype(jnp.float32), 0.0)
+        hom = jnp.where(valid[None, :], (a & b).astype(jnp.float32), 0.0)
         obs = jnp.stack([1.0 - xor.T, hom.T], axis=1)   # [T, 2, P]
 
-        # --- emission tables [T, 3, KC], padded positions -> identity -----
-        em = self.em[t0:t0 + real]
-        if pad:
-            pad_tab = np.zeros((pad, 3, KC), np.float32)
-            pad_tab[:, 0, :] = 1.0
-            em = jnp.concatenate([em, jnp.asarray(pad_tab)], axis=0)
+        # --- emission tables [T, 3, KC]; padded positions -> identity ------
+        em = jnp.take(self.em, site_idx_c, axis=0)
+        ident_em = jnp.zeros((3, KC), jnp.float32).at[0, :].set(1.0)
+        em = jnp.where(valid[:, None, None], em, ident_em[None])
 
-        # ops_f[t] = operator for step t (t=0 slot is an unused identity);
-        # ops_b[T-1-t] = operator for backward step t (slot T-1 unused identity)
-        ident = np.int32(self._identity_op)
-        ops_f = jnp.asarray(np.concatenate([[ident], ops_np]))
-        ops_b = jnp.asarray(np.concatenate([ops_np, [ident]]))
-        fwd_mask = jnp.asarray(fwd_mask_np)
+        # --- per-step operator indices -------------------------------------
+        # ops_f[t]: gap (t0+t-1, t0+t) for 1 <= t < real, else identity
+        ident = jnp.int32(self._identity_op)
+        gap_op = jnp.asarray(self.gap_op)
+        steps = jnp.arange(T, dtype=jnp.int32)
+        gap_idx_f = jnp.clip(t0 + steps - 1, 0, L - 2)
+        ops_f = jnp.where((steps >= 1) & (steps < real),
+                          gap_op[gap_idx_f], ident).astype(jnp.int32)
+        # ops_b[u]: gap (t0+u, t0+u+1) for u < real-1, else identity
+        gap_idx_b = jnp.clip(t0 + steps, 0, L - 2)
+        ops_b = jnp.where(steps < real - 1,
+                          gap_op[gap_idx_b], ident).astype(jnp.int32)
+
+        fwd_mask = ((site_idx % self._scaling_skip) == 0).astype(jnp.int32)
 
         # --- initial alpha -------------------------------------------------
         e0 = em[0]
@@ -277,12 +292,10 @@ class PallasDecoder:
 
         # --- backward + combine -------------------------------------------
         # grid step t: pos = T-1-t; beta transition uses gap (pos, pos+1)
-        # = ops[pos] and emission/obs at pos+1; t=0 only combines at T-1.
-        bwd_mask_np = np.zeros(T, np.int32)
-        # reference scales when pos % skip == 0, pos = T-1-t (HMM.cpp:931)
-        pos_arr = t0 + (T - 1) - np.arange(T)
-        bwd_mask_np = ((pos_arr % self._scaling_skip) == 0).astype(np.int32)
-        bwd_mask = jnp.asarray(bwd_mask_np)
+        # = ops_b[pos] and emission/obs at pos+1; t=0 only combines at T-1.
+        # reference scales when pos % skip == 0 (HMM.cpp:931)
+        bwd_mask = (((t0 + T - 1 - steps) % self._scaling_skip) == 0
+                    ).astype(jnp.int32)
 
         kernel = _make_bwd_kernel(outs, K, state_threshold)
         out_shapes = []
@@ -307,6 +320,10 @@ class PallasDecoder:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
             out_specs.append(pl.BlockSpec(
                 (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+        if outs.major_minor_sums:
+            out_shapes.append(jax.ShapeDtypeStruct((T, 3, KC), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, 3, KC), lambda t, ops, mask: (T - 1 - t, 0, 0)))
 
         def em_obs_idx(t, ops, mask):
             # pos+1 = T - t for t >= 1; unused (valid) slot T-1 at t=0
@@ -320,6 +337,8 @@ class PallasDecoder:
                              lambda t, ops, mask: (ops[T - 1 - t], 0, 0)),
                 pl.BlockSpec((1, 3, KC), em_obs_idx),
                 pl.BlockSpec((1, 2, P), em_obs_idx),
+                pl.BlockSpec((1, 2, P),
+                             lambda t, ops, mask: (T - 1 - t, 0, 0)),
                 pl.BlockSpec((1, KC, P),
                              lambda t, ops, mask: (T - 1 - t, 0, 0)),
                 pl.BlockSpec((1, KC), lambda t, ops, mask: (0, 0)),
@@ -331,14 +350,13 @@ class PallasDecoder:
             kernel, grid_spec=bwd_grid,
             out_shape=tuple(out_shapes),
             interpret=interp,
-        )(ops_b, bwd_mask, self.Mb, em, obs, alpha, self.exp_times)
+        )(ops_b, bwd_mask, self.Mb, em, obs, obs, alpha, self.exp_times)
         if not isinstance(results, (tuple, list)):
             results = (results,)
 
         named = {}
         i = 0
-        for name in ("posterior", "posterior_sums", "per_pair_mean",
-                     "per_pair_map", "threshold_sums"):
+        for name in _OUT_NAMES:
             if getattr(outs, name):
                 r = results[i]
                 i += 1
@@ -346,6 +364,8 @@ class PallasDecoder:
                     r = r[:, :K, :]
                 elif name == "posterior_sums":
                     r = r[:, 0, :K]
+                elif name == "major_minor_sums":
+                    r = r[:, :, :K]       # [T, 3, K]
                 else:
                     r = r[:, 0, :]
                 named[name] = r
@@ -367,5 +387,5 @@ class PallasDecoder:
         """
         t_len = self.L - t0 if t_len is None else t_len
         return self._decode_jit(jnp.asarray(hap_a), jnp.asarray(hap_b),
-                                int(t0), int(t_len), outputs,
-                                int(state_threshold))
+                                jnp.asarray(t0, jnp.int32), int(t_len),
+                                outputs, int(state_threshold))

@@ -1,0 +1,220 @@
+"""Output codecs: IBD text/binary writers, posterior-sum writers, binary reader.
+
+Byte-compatible with the reference formats:
+  * text ``.ibd.gz`` records (HMM.cpp:1110-1144), float columns printed with
+    ``setprecision(digits10+1 == 7)`` default-float formatting (== ``%.7g``)
+  * binary ``.bibd.gz``: header (3 option bools, chr, id table —
+    HMM.cpp:383-401) + packed records (HMM.cpp:1146-1176)
+  * reader mirroring BinaryDataReader.hpp:64-185 (used by the
+    ``convert-binary`` CLI)
+  * ``.sumOverPairs.gz`` matrices in Eigen tab format (main.cpp:119-167)
+    including the major/minor fold-flip
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import struct
+from typing import IO, List, Optional
+
+import numpy as np
+
+
+def fmt_float(x) -> str:
+    """C++ ostream default-float with precision 7 (== printf %.7g)."""
+    return "%.7g" % float(x)
+
+
+@dataclasses.dataclass
+class IbdRecord:
+    ind1: int
+    hap1: int       # 1 or 2
+    ind2: int
+    hap2: int
+    pos_start: int  # physical bp
+    pos_end: int
+    length_cm: Optional[float]
+    score: float
+    post_est: Optional[float]
+    map_est: Optional[float]
+
+
+class IbdTextWriter:
+    """Streaming text IBD writer (HMM.cpp:1114-1144)."""
+
+    def __init__(self, path: str, fam_ids: List[str], iids: List[str],
+                 chr_number: int):
+        self._f = gzip.open(path, "wt")
+        self.fam = fam_ids
+        self.iid = iids
+        self.chr = chr_number
+        self.n_written = 0
+
+    def write(self, r: IbdRecord) -> None:
+        parts = [self.fam[r.ind1], self.iid[r.ind1], str(r.hap1),
+                 self.fam[r.ind2], self.iid[r.ind2], str(r.hap2),
+                 str(self.chr), str(r.pos_start), str(r.pos_end)]
+        if r.length_cm is not None:
+            parts.append(fmt_float(np.float32(r.length_cm)))
+        parts.append(fmt_float(r.score))
+        if r.post_est is not None:
+            parts.append(fmt_float(np.float32(r.post_est)))
+        if r.map_est is not None:
+            parts.append(fmt_float(np.float32(r.map_est)))
+        self._f.write("\t".join(parts) + "\n")
+        self.n_written += 1
+
+    def close(self):
+        self._f.close()
+
+
+class IbdBinaryWriter:
+    """Binary ``.bibd.gz`` writer (HMM.cpp:383-401, 1146-1176)."""
+
+    def __init__(self, path: str, fam_ids: List[str], iids: List[str],
+                 chr_number: int, has_length: bool, has_post: bool,
+                 has_map: bool):
+        self._f = gzip.open(path, "wb")
+        self.has_length = has_length
+        self.has_post = has_post
+        self.has_map = has_map
+        self.n_written = 0
+        f = self._f
+        f.write(struct.pack("<???i", has_length, has_post, has_map,
+                            chr_number))
+        f.write(struct.pack("<I", len(fam_ids)))
+        for fam, iid in zip(fam_ids, iids):
+            fb = fam.encode()
+            ib = iid.encode()
+            f.write(struct.pack("<I", len(fb)))
+            f.write(fb)
+            f.write(struct.pack("<I", len(ib)))
+            f.write(ib)
+
+    def write(self, r: IbdRecord) -> None:
+        f = self._f
+        f.write(struct.pack("<IBIBii", r.ind1, r.hap1, r.ind2, r.hap2,
+                            r.pos_start, r.pos_end))
+        if self.has_length:
+            f.write(struct.pack("<f", np.float32(r.length_cm)))
+        f.write(struct.pack("<f", np.float32(r.score)))
+        if self.has_post:
+            f.write(struct.pack("<f", np.float32(r.post_est)))
+        if self.has_map:
+            f.write(struct.pack("<f", np.float32(r.map_est)))
+        self.n_written += 1
+
+    def close(self):
+        self._f.close()
+
+
+@dataclasses.dataclass
+class IbdPairDataLine:
+    """Mirror of BinaryDataReader.hpp:18-61."""
+    ind1_fam_id: str
+    ind1_id: str
+    ind1_hap: int
+    ind2_fam_id: str
+    ind2_id: str
+    ind2_hap: int
+    chromosome: int
+    ibd_start: int
+    ibd_end: int
+    length_cm: float = -1.0
+    score: float = -1.0
+    post_est: float = -1.0
+    map_est: float = -1.0
+
+    def to_string(self) -> str:
+        parts = [self.ind1_fam_id, self.ind1_id, str(self.ind1_hap),
+                 self.ind2_fam_id, self.ind2_id, str(self.ind2_hap),
+                 str(self.chromosome), str(self.ibd_start), str(self.ibd_end)]
+        if self.length_cm != -1.0:
+            parts.append(fmt_float(self.length_cm))
+        parts.append(fmt_float(self.score))
+        if self.post_est != -1.0:
+            parts.append(fmt_float(self.post_est))
+        if self.map_est != -1.0:
+            parts.append(fmt_float(self.map_est))
+        return "\t".join(parts)
+
+
+class BinaryDataReader:
+    """Reader for ``.bibd.gz`` (BinaryDataReader.hpp:64-185)."""
+
+    def __init__(self, path: str):
+        self._f = gzip.open(path, "rb")
+        hdr = self._f.read(3 + 4)
+        self.has_length, self.has_post, self.has_map = (
+            bool(hdr[0]), bool(hdr[1]), bool(hdr[2]))
+        self.chr_number = struct.unpack("<i", hdr[3:7])[0]
+        (n_ids,) = struct.unpack("<I", self._f.read(4))
+        self.fam_ids = []
+        self.iids = []
+        for _ in range(n_ids):
+            (lf,) = struct.unpack("<I", self._f.read(4))
+            self.fam_ids.append(self._f.read(lf).decode())
+            (li,) = struct.unpack("<I", self._f.read(4))
+            self.iids.append(self._f.read(li).decode())
+
+    def __iter__(self):
+        while True:
+            head = self._f.read(4)
+            if len(head) < 4:
+                return
+            (ind1,) = struct.unpack("<I", head)
+            hap1, = struct.unpack("<B", self._f.read(1))
+            ind2, = struct.unpack("<I", self._f.read(4))
+            hap2, = struct.unpack("<B", self._f.read(1))
+            start, end = struct.unpack("<ii", self._f.read(8))
+            line = IbdPairDataLine(
+                ind1_fam_id=self.fam_ids[ind1], ind1_id=self.iids[ind1],
+                ind1_hap=hap1,
+                ind2_fam_id=self.fam_ids[ind2], ind2_id=self.iids[ind2],
+                ind2_hap=hap2,
+                chromosome=self.chr_number, ibd_start=start, ibd_end=end)
+            if self.has_length:
+                (line.length_cm,) = struct.unpack("<f", self._f.read(4))
+            (line.score,) = struct.unpack("<f", self._f.read(4))
+            if self.has_post:
+                (line.post_est,) = struct.unpack("<f", self._f.read(4))
+            if self.has_map:
+                (line.map_est,) = struct.unpack("<f", self._f.read(4))
+            yield line
+
+    def close(self):
+        self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# posterior sum matrices (main.cpp:119-167)
+# ---------------------------------------------------------------------------
+
+def _eigen_tab_format(mat: np.ndarray) -> str:
+    # Eigen StreamPrecision default-float (like %g with precision 6... Eigen
+    # StreamPrecision uses the stream default precision 6); reference uses
+    # the stream's default operator<< on floats.
+    lines = []
+    for row in mat:
+        lines.append("\t".join("%.6g" % float(v) for v in row))
+    return "\n".join(lines)
+
+
+def write_sum_over_pairs(path: str, mat: np.ndarray) -> None:
+    with gzip.open(path, "wt") as f:
+        f.write(_eigen_tab_format(mat))
+        f.write("\n")
+
+
+def write_major_minor_sums(out_root: str, sums00: np.ndarray,
+                           sums01: np.ndarray, sums11: np.ndarray,
+                           flipped: np.ndarray) -> None:
+    """main.cpp:126-165: 00/11 matrices swap rows where the site was flipped
+    during minor-allele folding."""
+    sites = sums00.shape[0]
+    m00 = np.where(flipped[:, None], sums11, sums00)
+    m11 = np.where(flipped[:, None], sums00, sums11)
+    write_sum_over_pairs(out_root + ".00.sumOverPairs.gz", m00)
+    write_sum_over_pairs(out_root + ".01.sumOverPairs.gz", sums01)
+    write_sum_over_pairs(out_root + ".11.sumOverPairs.gz", m11)

@@ -1,0 +1,271 @@
+"""ASMC pipeline: all-pairs posterior decoding and the targeted-pair API.
+
+Mirror of the reference façade ``ASMC::ASMC`` (ASMC.cpp:51-128), the
+``ASMC_exe`` main (main.cpp:33-168), and the python ``decodePairs`` surface
+(pybind.cpp:54-252 / DecodePairsReturnStruct.hpp), rebuilt on the batched
+TPU decoder:
+
+  * ``decode_all_in_job`` enumerates the job's pair range
+    (HMM.cpp:310-364), streams batches through the fused kernel, and
+    accumulates the sum-over-pairs matrices on device;
+  * ``decode_pairs`` decodes explicit hap-index or string-id pairs and
+    returns per-pair posteriors / posterior means / MAPs with the
+    min/argmin summaries of ``finaliseCalculations``
+    (DecodePairsReturnStruct.hpp:105-118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..config import DecodingParams
+from ..engine.hmm import BatchedDecoder, bucket_len
+from ..engine.oracle import DecodeContext
+from ..io.decoding_quantities import DecodingQuantities
+from ..io.haps import Data, load_data
+from ..io import writers
+
+
+def hap_to_dip_id(hap: int) -> Tuple[int, int]:
+    """HmmUtils.cpp:179-182."""
+    return hap // 2, 1 + hap % 2
+
+
+def dip_to_hap_id(ind: int, hap: int) -> int:
+    """HmmUtils.cpp:184-188."""
+    assert hap in (1, 2)
+    return 2 * ind + hap - 1
+
+
+def combined_id_to_ind_plus_hap(combined: str) -> Tuple[str, int]:
+    """HmmUtils.cpp:200-208 (``<id>#1`` / ``<id>#2``)."""
+    if len(combined) < 3 or combined[-2:] not in ("#1", "#2"):
+        raise ValueError(
+            f"Expected combined ID in form <id>#1 OR <id>#2, got {combined}")
+    return combined[:-2], int(combined[-1])
+
+
+@dataclasses.dataclass
+class DecodingReturnValues:
+    sum_over_pairs: np.ndarray                 # [L, K]
+    sum_over_pairs00: Optional[np.ndarray] = None
+    sum_over_pairs01: Optional[np.ndarray] = None
+    sum_over_pairs11: Optional[np.ndarray] = None
+    sites: int = 0
+    states: int = 0
+    site_was_flipped: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class DecodePairsReturnStruct:
+    """Python-API result container (DecodePairsReturnStruct.hpp:22-127)."""
+    per_pair_indices: List[Tuple[int, str, int, str]]
+    per_pair_posteriors: Optional[np.ndarray] = None   # [n, K, L]
+    sum_of_posteriors: Optional[np.ndarray] = None     # [K, L]
+    per_pair_posterior_means: Optional[np.ndarray] = None  # [n, L]
+    min_posterior_means: Optional[np.ndarray] = None   # [L]
+    argmin_posterior_means: Optional[np.ndarray] = None
+    per_pair_maps: Optional[np.ndarray] = None         # [n, L] int
+    min_maps: Optional[np.ndarray] = None
+    argmin_maps: Optional[np.ndarray] = None
+
+
+class ASMC:
+    """All-pairs / targeted-pair decoding façade."""
+
+    def __init__(self, params: DecodingParams,
+                 data: Optional[Data] = None,
+                 dq: Optional[DecodingQuantities] = None,
+                 use_pallas: Optional[bool] = None,
+                 batch_size: Optional[int] = None):
+        self.params = params
+        self.data = data if data is not None else load_data(params)
+        self.dq = dq if dq is not None else DecodingQuantities.load(
+            params.decoding_quant_file)
+        self.ctx = DecodeContext.build(params, self.data, self.dq)
+        self.batch_size = batch_size or max(params.batch_size, 64)
+        if use_pallas is None:
+            import jax
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and not params.decoding_sequence)
+        self._use_pallas = use_pallas
+        if use_pallas:
+            from ..engine.kernels import PallasDecoder, BwdOutputs
+            self.decoder = PallasDecoder(self.ctx)
+            self._outs_cls = BwdOutputs
+        else:
+            self.decoder = BatchedDecoder(self.ctx)
+            self._outs_cls = None
+
+    # ------------------------------------------------------------------
+    def _job_pairs(self) -> List[Tuple[int, int]]:
+        """Pair enumeration + flat range split (HMM.cpp:310-364).
+
+        Returns (hap_row_1, hap_row_2) with the first element being the
+        reference's obs.iInd (lower individual)."""
+        p = self.params
+        N = self.data.n_ind
+        tot = N if p.within_only else 2 * N * N - N
+        start = tot * (p.job_ind - 1) // p.jobs
+        end = tot * p.job_ind // p.jobs
+        out: List[Tuple[int, int]] = []
+        pairs = 0
+        for i in range(N):
+            if not p.within_only:
+                for j in range(i):
+                    for ihap in (0, 1):
+                        for jhap in (0, 1):
+                            if start <= pairs < end:
+                                out.append((2 * j + jhap, 2 * i + ihap))
+                            pairs += 1
+            if start <= pairs < end:
+                out.append((2 * i, 2 * i + 1))
+            pairs += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def decode_all_in_job(self, verbose: bool = True) -> DecodingReturnValues:
+        p = self.params
+        L, K = self.data.sites, self.dq.states
+        t_len = bucket_len(L)
+        bs = self.batch_size
+        pairs = self._job_pairs()
+        t0 = time.time()
+
+        sums = np.zeros((L, K), np.float64)
+        mm = np.zeros((3, L, K), np.float64) \
+            if p.do_major_minor_posterior_sums else None
+
+        for ofs in range(0, len(pairs), bs):
+            chunk = pairs[ofs:ofs + bs]
+            n = len(chunk)
+            h1 = np.fromiter((c[0] for c in chunk), np.int32, n)
+            h2 = np.fromiter((c[1] for c in chunk), np.int32, n)
+            if n < bs:
+                h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])
+                h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
+            if self._use_pallas and n == bs:
+                outs = self._outs_cls(
+                    posterior=False,
+                    posterior_sums=p.do_posterior_sums,
+                    major_minor_sums=p.do_major_minor_posterior_sums,
+                    threshold_sums=False)
+                r = self.decoder.decode_pairs(h1, h2, 0, t_len, outs, 0)
+                if p.do_posterior_sums:
+                    sums += np.asarray(r["posterior_sums"])[:L]
+                if mm is not None:
+                    mm += np.asarray(
+                        r["major_minor_sums"])[:L].transpose(1, 0, 2)
+            else:
+                # partial batch: padding pairs must NOT contribute to sums,
+                # so take the full posterior and reduce on host
+                post = self._full_posterior(h1, h2, t_len)[:L, :, :n]
+                if p.do_posterior_sums:
+                    sums += post.sum(axis=2)
+                if mm is not None:
+                    a = self.data.hap_bits[h1[:n], :L]
+                    b = self.data.hap_bits[h2[:n], :L]
+                    xor = (a ^ b).T.astype(bool)       # [L, n]
+                    hom = (a & b).T.astype(bool)
+                    w11 = hom
+                    w00 = (~xor) & (~hom)
+                    w01 = xor
+                    for wi, w in enumerate((w00, w01, w11)):
+                        mm[wi] += np.einsum("tkp,tp->tk", post,
+                                            w.astype(np.float32))
+            if verbose:
+                done = min(ofs + bs, len(pairs))
+                print(f"\rDecoding progress: {100 * done // len(pairs)}% "
+                      f"({done}/{len(pairs)})", end="", flush=True)
+        if verbose:
+            print(f"\nDecoded {len(pairs)} pairs in "
+                  f"{time.time() - t0:.3f} seconds.")
+
+        out = DecodingReturnValues(
+            sum_over_pairs=sums.astype(np.float32),
+            sites=L, states=K,
+            site_was_flipped=self.data.site_was_flipped)
+        if mm is not None:
+            out.sum_over_pairs00 = mm[0].astype(np.float32)
+            out.sum_over_pairs01 = mm[1].astype(np.float32)
+            out.sum_over_pairs11 = mm[2].astype(np.float32)
+        return out
+
+    def _full_posterior(self, h1, h2, t_len) -> np.ndarray:
+        if self._use_pallas:
+            outs = self._outs_cls(posterior=True)
+            r = self.decoder.decode_pairs(h1, h2, 0, t_len, outs, 0)
+            return np.asarray(r["posterior"])
+        return np.asarray(self.decoder.decode_pairs(h1, h2, 0, t_len))
+
+    # ------------------------------------------------------------------
+    def write_outputs(self, result: DecodingReturnValues) -> None:
+        """main.cpp:119-167."""
+        p = self.params
+        if p.do_posterior_sums:
+            writers.write_sum_over_pairs(
+                p.out_file_root + ".sumOverPairs.gz", result.sum_over_pairs)
+        if p.do_major_minor_posterior_sums:
+            writers.write_major_minor_sums(
+                p.out_file_root, result.sum_over_pairs00,
+                result.sum_over_pairs01, result.sum_over_pairs11,
+                result.site_was_flipped)
+
+    # ------------------------------------------------------------------
+    def decode_pairs(self,
+                     haps_a: Sequence[Union[int, str]],
+                     haps_b: Sequence[Union[int, str]],
+                     per_pair_posteriors: bool = False,
+                     sum_of_posteriors: bool = False,
+                     per_pair_posterior_means: bool = True,
+                     per_pair_maps: bool = True) -> DecodePairsReturnStruct:
+        """ASMC.cpp:80-128 + DecodePairsReturnStruct summaries."""
+        if len(haps_a) != len(haps_b) or not haps_a:
+            raise ValueError("A and B hap vectors must be equal-length, "
+                             "non-empty")
+        iid = self.data.iid_list
+
+        def to_hap(x) -> int:
+            if isinstance(x, str):
+                sid, hap = combined_id_to_ind_plus_hap(x)
+                idx = iid.index(sid)
+                return dip_to_hap_id(idx, hap)
+            return int(x)
+
+        ha = np.asarray([to_hap(x) for x in haps_a], np.int32)
+        hb = np.asarray([to_hap(x) for x in haps_b], np.int32)
+        n = len(ha)
+        L, K = self.data.sites, self.dq.states
+        t_len = bucket_len(L)
+
+        post = self._full_posterior(ha, hb, t_len)[:L]   # [L, K, n]
+        expt = self.dq.expected_times
+
+        indices = []
+        for a, b in zip(ha, hb):
+            ia, hap_a = hap_to_dip_id(int(a))
+            ib, hap_b = hap_to_dip_id(int(b))
+            indices.append((int(a), f"{iid[ia]}#{hap_a}",
+                            int(b), f"{iid[ib]}#{hap_b}"))
+
+        res = DecodePairsReturnStruct(per_pair_indices=indices)
+        scaled = post * expt[None, :, None]               # [L, K, n]
+        if per_pair_posteriors:
+            res.per_pair_posteriors = scaled.transpose(2, 1, 0)
+        if sum_of_posteriors:
+            res.sum_of_posteriors = scaled.sum(axis=2).T  # [K, L]
+        if per_pair_posterior_means or per_pair_posteriors:
+            means = scaled.sum(axis=1).T                  # [n, L]
+            res.per_pair_posterior_means = means
+            res.min_posterior_means = means.min(axis=0)
+            res.argmin_posterior_means = means.argmin(axis=0)
+        if per_pair_maps:
+            maps = post.argmax(axis=1).T                  # [n, L]
+            res.per_pair_maps = maps.astype(np.int32)
+            res.min_maps = maps.min(axis=0).astype(np.int32)
+            res.argmin_maps = maps.argmin(axis=0).astype(np.int32)
+        return res

@@ -1,0 +1,276 @@
+"""FastSMC pipeline: identification (hashing) + validation (HMM) + IBD output.
+
+Mirror of ``ASMC::FastSMC::run`` (reference FastSMC.cpp:41-238) and the
+batching/validation glue in ``HMM::decodeFromHashing`` / ``addToBatch`` /
+``runLastBatch`` / ``writePerPairOutputFastSMC`` (HMM.cpp:470-502, 555-636,
+1179-1357), re-architected so validation runs as large batched TPU decodes:
+
+  * candidate matches stream into batch slots with their padded decode
+    window; a full batch decodes [min from, max to) once on device;
+  * the per-pair segment state machine runs on the device-reduced
+    ``threshold_sums`` (and the posterior for age estimates), host-side;
+  * hashing-mode segments scan the *batch union* window exactly like the
+    reference's "permissive" override (HMM.cpp:1199-1204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import DecodingParams
+from ..engine import segments as seg
+from ..engine.hmm import BatchedDecoder, bucket_len
+from ..engine.oracle import DecodeContext
+from ..io.decoding_quantities import DecodingQuantities
+from ..io.haps import Data, load_data
+from ..io import writers
+from ..hashing.germline import HashingScan
+
+
+def get_from_position(genetic_positions: np.ndarray, from_pos: int,
+                      cm_dist: float = 0.5) -> int:
+    """HmmUtils.cpp:153-164 (0.5 cM pre-padding)."""
+    cum = 0.0
+    g = genetic_positions
+    while cum < cm_dist and from_pos > 0:
+        from_pos -= 1
+        cum += (g[from_pos + 1] - g[from_pos]) * 100.0
+    return from_pos
+
+
+def get_to_position(genetic_positions: np.ndarray, to_pos: int,
+                    cm_dist: float = 0.5) -> int:
+    """HmmUtils.cpp:166-177 (0.5 cM post-padding)."""
+    cum = 0.0
+    g = genetic_positions
+    n = len(g)
+    while cum < cm_dist and to_pos + 1 < n:
+        to_pos += 1
+        cum += (g[to_pos] - g[to_pos - 1]) * 100.0
+    return min(to_pos + 1, n)
+
+
+@dataclasses.dataclass
+class _BatchSlot:
+    hap1: int
+    hap2: int
+
+
+class FastSMC:
+    """End-to-end FastSMC run for one job."""
+
+    def __init__(self, params: DecodingParams,
+                 data: Optional[Data] = None,
+                 dq: Optional[DecodingQuantities] = None,
+                 use_pallas: Optional[bool] = None):
+        params.fastsmc = True
+        self.params = params
+        self.data = data if data is not None else load_data(params)
+        self.dq = dq if dq is not None else DecodingQuantities.load(
+            params.decoding_quant_file)
+        self.ctx = DecodeContext.build(params, self.data, self.dq)
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if use_pallas:
+            from ..engine.kernels import PallasDecoder, BwdOutputs
+            self.decoder = PallasDecoder(self.ctx)
+            self._bwd_outputs_cls = BwdOutputs
+        else:
+            self.decoder = BatchedDecoder(self.ctx)
+            self._bwd_outputs_cls = None
+
+        K = self.dq.states
+        self.state_threshold = seg.state_threshold(
+            self.dq.discretization, params.time, K)
+        self.prob_threshold = seg.probability_threshold(
+            self.dq.initial_state_prob, self.state_threshold)
+        self.age_threshold = K if params.no_conditional_age_estimates \
+            else self.state_threshold
+
+        self._writer = None
+        self._batch: List[_BatchSlot] = []
+        self._from = np.zeros(params.batch_size, dtype=np.int64)
+        self._to = np.full(params.batch_size, self.data.sites, dtype=np.int64)
+        self._cpt = 0
+        self.n_segments = 0
+
+    # ------------------------------------------------------------------
+    def _open_writer(self):
+        p = self.params
+        path = p.ibd_output_path()
+        if p.bin_out:
+            self._writer = writers.IbdBinaryWriter(
+                path, self.data.fam_id_list, self.data.iid_list,
+                self.data.chr_number, p.output_ibd_segment_length,
+                p.do_per_pair_posterior_mean, p.do_per_pair_map)
+        else:
+            self._writer = writers.IbdTextWriter(
+                path, self.data.fam_id_list, self.data.iid_list,
+                self.data.chr_number)
+        return path
+
+    # ------------------------------------------------------------------
+    # decodeFromHashing mirror (HMM.cpp:470-502)
+    # ------------------------------------------------------------------
+    def _on_match(self, id1: int, id2: int, from_pos: int, to_pos: int):
+        nb = self._cpt % self.params.batch_size
+        self._from[nb] = from_pos
+        self._to[nb] = to_pos
+        self._batch.append(_BatchSlot(id1, id2))
+        self._cpt += 1
+        if len(self._batch) == self.params.batch_size:
+            self._flush(len(self._batch))
+
+    def _flush(self, n: int):
+        if n == 0:
+            return
+        p = self.params
+        g = self.data.genetic_positions
+        start_batch = int(self._from[:n].min())
+        end_batch = int(self._to[:n].max())
+        frm = get_from_position(g, start_batch)
+        to = get_to_position(g, end_batch)
+
+        hap1 = np.array([s.hap1 for s in self._batch], dtype=np.int32)
+        hap2 = np.array([s.hap2 for s in self._batch], dtype=np.int32)
+        # pad to a fixed batch width (one jit shape), like the reference pads
+        # to a VECX multiple (HMM.cpp:617-621)
+        if n < p.batch_size:
+            fill = p.batch_size - n
+            hap1 = np.concatenate([hap1, np.full(fill, hap1[-1], np.int32)])
+            hap2 = np.concatenate([hap2, np.full(fill, hap2[-1], np.int32)])
+        t_len = bucket_len(to - frm)
+
+        need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
+        post, th_sums = self._decode(hap1, hap2, frm, t_len, need_ages)
+
+        # segment scan window: the batch union [start, end) — the reference's
+        # permissive override (HMM.cpp:1199-1204)
+        s0 = start_batch - frm
+        s1 = end_batch - frm
+        sums_w = th_sums[s0:s1]
+        post_w = post[s0:s1] if post is not None else None
+        segs = seg.extract_segments(sums_w, self.prob_threshold, start_batch,
+                                    post_w, self.age_threshold)
+        segs = [s for s in segs if s.pair < n]
+        self._emit(segs, hap1, hap2)
+        self._batch.clear()
+
+    def _decode(self, hap1, hap2, frm: int, t_len: int, need_ages: bool
+                ) -> Tuple[Optional[np.ndarray], np.ndarray]:
+        """Returns (posterior [T,K,P] or None, threshold_sums [T,P])."""
+        if self._bwd_outputs_cls is not None:
+            outs = self._bwd_outputs_cls(
+                posterior=need_ages, posterior_sums=False,
+                per_pair_mean=False, per_pair_map=False, threshold_sums=True)
+            r = self.decoder.decode_pairs(hap1, hap2, frm, t_len, outs,
+                                          self.state_threshold)
+            post = np.asarray(r["posterior"]) if need_ages else None
+            return post, np.asarray(r["threshold_sums"])
+        post = np.asarray(self.decoder.decode_pairs(hap1, hap2, frm, t_len))
+        th = post[:, :self.state_threshold, :].sum(axis=1)
+        return (post if need_ages else None), th
+
+    def _emit(self, segs: List[seg.Segment], hap1, hap2):
+        p = self.params
+        dq = self.dq
+        w = self._writer
+        for s in segs:
+            h1, h2 = int(hap1[s.pair]), int(hap2[s.pair])
+            length_cm = None
+            if p.output_ibd_segment_length:
+                length_cm = 100.0 * (
+                    np.float32(self.data.genetic_positions[s.end])
+                    - np.float32(self.data.genetic_positions[s.start]))
+            score = s.score_sum / float(s.end - s.start + 1)
+            post_est = map_est = None
+            if s.pps is not None:
+                if p.do_per_pair_posterior_mean:
+                    post_est = seg.posterior_mean_from_pps(
+                        s.pps, dq.expected_times)
+                if p.do_per_pair_map:
+                    map_est = seg.map_from_pps(
+                        s.pps, dq.initial_state_prob, dq.expected_times)
+            w.write(writers.IbdRecord(
+                ind1=h1 // 2, hap1=1 + h1 % 2,
+                ind2=h2 // 2, hap2=1 + h2 % 2,
+                pos_start=int(self.data.physical_positions[s.start]),
+                pos_end=int(self.data.physical_positions[s.end]),
+                length_cm=length_cm, score=score,
+                post_est=post_est, map_est=map_est))
+            self.n_segments += 1
+
+    # ------------------------------------------------------------------
+    # no-hashing mode: decode every pair in the job range
+    # ------------------------------------------------------------------
+    def _run_no_hashing(self):
+        """HMM::decodeAll pair enumeration (HMM.cpp:310-364) with flat
+        pair-range splitting by jobInd/jobs."""
+        p = self.params
+        N = self.data.n_ind
+        tot_pairs = N if p.within_only else 2 * N * N - N
+        pairs_start = tot_pairs * (p.job_ind - 1) // p.jobs
+        pairs_end = tot_pairs * p.job_ind // p.jobs
+
+        hap1s: List[int] = []
+        hap2s: List[int] = []
+        pairs = 0
+
+        def consider(h1, h2):
+            nonlocal pairs
+            if pairs_start <= pairs < pairs_end:
+                hap1s.append(h1)
+                hap2s.append(h2)
+            pairs += 1
+
+        for i in range(N):
+            if not p.within_only:
+                for j in range(i):
+                    for ihap in (0, 1):
+                        for jhap in (0, 1):
+                            # makePairObs(jHap, j, iHap, i): first = (j, jhap)
+                            consider(2 * j + jhap, 2 * i + ihap)
+            consider(2 * i, 2 * i + 1)
+
+        # batches decode the full sequence
+        bs = p.batch_size
+        L = self.data.sites
+        for ofs in range(0, len(hap1s), bs):
+            h1 = np.asarray(hap1s[ofs:ofs + bs], dtype=np.int32)
+            h2 = np.asarray(hap2s[ofs:ofs + bs], dtype=np.int32)
+            n = len(h1)
+            if n < bs:
+                h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])
+                h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
+            t_len = bucket_len(L)
+            need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
+            post, th = self._decode(h1, h2, 0, t_len, need_ages)
+            sums_w = th[:L]
+            post_w = post[:L] if post is not None else None
+            segs = seg.extract_segments(sums_w, self.prob_threshold, 0,
+                                        post_w, self.age_threshold)
+            segs = [s for s in segs if s.pair < n]
+            self._emit(segs, h1, h2)
+
+    # ------------------------------------------------------------------
+    def run(self, verbose: bool = True) -> str:
+        """Full pipeline; returns the output path."""
+        t0 = time.time()
+        path = self._open_writer()
+        if self.params.hashing:
+            scan = HashingScan(self.params, self.data, self._on_match)
+            scan.run(verbose=verbose)
+            self._flush(len(self._batch))
+        else:
+            self._run_no_hashing()
+        self._writer.close()
+        if verbose:
+            print(f"[fastsmc] {self.n_segments} segments "
+                  f"({self._cpt} candidates) in {time.time() - t0:.2f}s "
+                  f"-> {path}")
+        return path

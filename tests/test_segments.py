@@ -1,0 +1,94 @@
+"""Segment state machine vs a direct transliteration of the reference loop."""
+
+import numpy as np
+
+from fastsmc_tpu.engine import segments as seg
+
+
+def reference_state_machine(sums, posterior, prob_threshold, from_pos, to_pos,
+                            age_threshold):
+    """Line-by-line transliteration of writePerPairOutputFastSMC
+    (HMM.cpp:1179-1357) for one pair. Returns (start, end, score_sum, pps)."""
+    out = []
+    is_ibd = [False, False, False, False]   # levels 0..3
+    start = [0, 0, 0, 0]
+    posterior_ibd = 0.0
+    pps = np.zeros(age_threshold, dtype=np.float64)
+    prev_pps = np.zeros(age_threshold, dtype=np.float64)
+
+    def emit(lvl, a, b, score, state_sums):
+        out.append((a, b, score, state_sums.copy()))
+
+    for pos in range(from_pos, to_pos):
+        prev_pps = pps.copy()
+        pps = pps + posterior[pos, :age_threshold]
+        s = sums[pos]
+        level = None
+        if s >= 1000 * prob_threshold:
+            level = 0
+        elif s >= 100 * prob_threshold:
+            level = 1
+        elif s >= 10 * prob_threshold:
+            level = 2
+        elif s >= prob_threshold:
+            level = 3
+        if level is not None:
+            if not is_ibd[level]:
+                start[level] = pos
+                pps = posterior[pos, :age_threshold].copy()
+                for other in range(4):
+                    if other != level and pos > from_pos and is_ibd[other]:
+                        emit(other, start[other], pos - 1, posterior_ibd,
+                             prev_pps)
+                posterior_ibd = s
+            else:
+                posterior_ibd += s
+            if pos == to_pos - 1:
+                emit(level, start[level], to_pos - 1, posterior_ibd, pps)
+                posterior_ibd = 0.0
+            for other in range(4):
+                is_ibd[other] = (other == level)
+        else:
+            for other in range(4):
+                if is_ibd[other]:
+                    emit(other, start[other], pos - 1, posterior_ibd, prev_pps)
+                    posterior_ibd = 0.0
+            is_ibd = [False] * 4
+    return out
+
+
+def test_state_machine_matches_reference_transliteration():
+    rng = np.random.default_rng(42)
+    T, K, P = 200, 8, 6
+    age = K
+    prob = 0.001
+    for trial in range(5):
+        # random posteriors with a mix of strong/weak regions
+        post = rng.random((T, K, P)).astype(np.float32)
+        post /= post.sum(axis=1, keepdims=True)
+        scale = rng.choice([1e-6, 1e-2, 1e-1, 0.5, 1.0], size=(T, P))
+        sums = (post[:, :4].sum(axis=1) * scale).astype(np.float32)
+        got = seg.extract_segments(sums, prob, 0, post, age)
+        for p in range(P):
+            want = reference_state_machine(sums[:, p], post[:, :, p], prob,
+                                           0, T, age)
+            mine = [s for s in got if s.pair == p]
+            assert len(mine) == len(want), f"trial {trial} pair {p}"
+            for m, w in zip(mine, want):
+                assert (m.start, m.end) == (w[0], w[1])
+                np.testing.assert_allclose(m.score_sum, w[2], rtol=1e-5)
+                np.testing.assert_allclose(m.pps, w[3], rtol=1e-4)
+
+
+def test_state_threshold():
+    disc = np.array([0, 30, 60, 90, 120], dtype=np.float32)
+    assert seg.state_threshold(disc, 50, 4) == 2
+    assert seg.state_threshold(disc, 30, 4) == 1
+    assert seg.state_threshold(disc, 1000, 4) == 4
+
+
+def test_levels():
+    # values chosen away from float32 threshold boundaries
+    s = np.array([[0.6, 0.06, 0.006, 0.0006, 0.00001]], dtype=np.float32)
+    lvl = seg.levels_from_sums(s, 0.0005)
+    assert lvl.tolist() == [[0, 1, 2, 3, 4]]

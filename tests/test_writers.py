@@ -1,0 +1,93 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from fastsmc_tpu.io.writers import (BinaryDataReader, IbdBinaryWriter,
+                                    IbdRecord, IbdTextWriter, fmt_float,
+                                    write_sum_over_pairs,
+                                    write_major_minor_sums)
+
+
+def test_fmt_float_matches_cxx_setprecision7():
+    # values from the reference golden file (regression_output.ibd.gz)
+    assert fmt_float(np.float32(1.869621)) == "1.869621"
+    assert fmt_float(0.4075357) == "0.4075357"
+    assert fmt_float(np.float32(148.8378)) == "148.8378"
+    assert fmt_float(np.float32(24.99993)) == "24.99993"
+    assert fmt_float(np.float32(0.008774921)) == "0.008774921"
+    assert fmt_float(np.float32(15968.97)) == "15968.97"
+    assert fmt_float(0.0) == "0"
+
+
+RECORDS = [
+    IbdRecord(0, 1, 3, 2, 1000, 50000, 1.25, 0.875, 150.5, 33.25),
+    IbdRecord(2, 2, 1, 1, 777, 888, 0.015625, 0.25, 1e4, 2.5),
+]
+
+
+def test_text_writer(tmp_path):
+    path = str(tmp_path / "x.ibd.gz")
+    w = IbdTextWriter(path, ["f0", "f1", "f2", "f3"],
+                      ["s0", "s1", "s2", "s3"], 7)
+    for r in RECORDS:
+        w.write(r)
+    w.close()
+    lines = gzip.open(path, "rt").read().splitlines()
+    assert lines[0] == "f0\ts0\t1\tf3\ts3\t2\t7\t1000\t50000\t1.25\t0.875" \
+                       "\t150.5\t33.25"
+    assert len(lines) == 2
+
+
+def test_binary_roundtrip(tmp_path):
+    path = str(tmp_path / "x.bibd.gz")
+    fams = ["fam_a", "fb", "fam_c", "f"]
+    iids = ["i1", "ind_2", "x", "yy"]
+    w = IbdBinaryWriter(path, fams, iids, 13, True, True, True)
+    for r in RECORDS:
+        w.write(r)
+    w.close()
+    rd = BinaryDataReader(path)
+    assert rd.chr_number == 13
+    assert rd.fam_ids == fams and rd.iids == iids
+    lines = list(rd)
+    assert len(lines) == 2
+    l0 = lines[0]
+    assert (l0.ind1_fam_id, l0.ind1_id, l0.ind1_hap) == ("fam_a", "i1", 1)
+    assert (l0.ind2_fam_id, l0.ind2_hap) == ("f", 2)
+    assert (l0.ibd_start, l0.ibd_end) == (1000, 50000)
+    assert abs(l0.length_cm - 1.25) < 1e-6
+    assert abs(l0.score - 0.875) < 1e-6
+    assert abs(l0.post_est - 150.5) < 1e-4
+    assert abs(l0.map_est - 33.25) < 1e-6
+    # convertBinary-style text
+    assert l0.to_string().startswith("fam_a\ti1\t1\tf\tyy\t2\t13\t1000")
+
+
+def test_binary_optional_fields(tmp_path):
+    path = str(tmp_path / "y.bibd.gz")
+    w = IbdBinaryWriter(path, ["a"], ["b"], 1, False, False, False)
+    w.write(IbdRecord(0, 1, 0, 2, 5, 10, None, 0.5, None, None))
+    w.close()
+    rd = BinaryDataReader(path)
+    (line,) = list(rd)
+    assert line.length_cm == -1.0 and line.post_est == -1.0
+    assert abs(line.score - 0.5) < 1e-7
+
+
+def test_sum_over_pairs_writers(tmp_path):
+    m = np.arange(12, dtype=np.float32).reshape(4, 3)
+    p = str(tmp_path / "s.gz")
+    write_sum_over_pairs(p, m)
+    rows = [l.split("\t") for l in gzip.open(p, "rt").read().splitlines()]
+    assert len(rows) == 4 and len(rows[0]) == 3
+    back = np.array([[float(x) for x in r] for r in rows])
+    np.testing.assert_allclose(back, m)
+
+    flipped = np.array([False, True, False, False])
+    s00 = np.ones((4, 3), np.float32)
+    s11 = np.full((4, 3), 2.0, np.float32)
+    write_major_minor_sums(str(tmp_path / "mm"), s00, s00 * 0 + 3, s11,
+                           flipped)
+    r00 = np.loadtxt(str(tmp_path / "mm") + ".00.sumOverPairs.gz")
+    assert r00[0, 0] == 1.0 and r00[1, 0] == 2.0  # flipped row swapped
