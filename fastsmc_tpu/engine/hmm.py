@@ -157,8 +157,9 @@ class BatchedDecoder:
         _, alpha_rest = jax.lax.scan(fwd_body, alpha0, xs)
         alpha = jnp.concatenate([alpha0[None], alpha_rest], axis=0)
 
-        P = obs_zero.shape[1]
-        beta_last = jnp.full((self.K, P), 1.0 / self.K, jnp.float32)
+        # derive from alpha0 so the value is "varying" over the pair axis
+        # under shard_map (a plain constant fails the carry vma check)
+        beta_last = jnp.zeros_like(alpha0) + jnp.float32(1.0 / self.K)
         T = obs_zero.shape[0]
 
         def bwd_body(carry, xs):

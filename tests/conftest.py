@@ -17,6 +17,12 @@ os.environ.setdefault("FASTSMC_TPU_NO_CACHE", "1")
 import pathlib
 import sys
 
+import jax
+
+# the axon sitecustomize pins the platform regardless of JAX_PLATFORMS;
+# force the CPU backend explicitly for unit tests
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
