@@ -220,7 +220,25 @@ class HashingScan:
         return False
 
     # -- main loop (FastSMC.cpp:144-235) --------------------------------
-    def run(self, verbose: bool = False) -> None:
+    def run(self, verbose: bool = False, use_native: bool = True) -> None:
+        p = self.params
+        if use_native:
+            from .. import native
+            res = native.hash_scan(
+                self.words, self.id_num, haploid=p.haploid,
+                windows=self.windows, min_m=p.min_m,
+                genetic_positions=self.data.genetic_positions.astype(
+                    np.float32),
+                word_size=self.word_size, read_ahead=p.const_read_ahead,
+                gap=p.gap, max_seeds=p.max_seeds, skip=p.skip)
+            if res is not None:
+                id1, id2, frm, to = res
+                for a, b, f, t in zip(id1, id2, frm, to):
+                    self.callback(int(a), int(b), int(f), int(t))
+                return
+        self._run_python(verbose)
+
+    def _run_python(self, verbose: bool = False) -> None:
         p = self.params
         n_haps = self.words.shape[0]
         for w in range(self.total_words):

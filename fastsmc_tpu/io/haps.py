@@ -137,8 +137,25 @@ class Data:
         """
         if self._undistinguished_cache is not None:
             return self._undistinguished_cache
-        rand = GlibcRand(1234 if self.use_known_seed else
-                         int.from_bytes(os.urandom(4), "little") or 1)
+        seed = 1234 if self.use_known_seed else \
+            int.from_bytes(os.urandom(4), "little") or 1
+        if self.fold_to_minor and (self.derived_allele_counts
+                                   > self.total_samples_count
+                                   - self.derived_allele_counts).any():
+            raise ValueError("Minor allele has frequency > 50%. "
+                             "Data is supposed to be folded.")
+        if self.decoding_uses_csfs and num_csfs_samples > \
+                int(self.total_samples_count.min(initial=num_csfs_samples)):
+            raise ValueError("a SNP has fewer non-missing individuals than "
+                             f"the CSFS requires ({num_csfs_samples})")
+        from .. import native
+        nat = native.undistinguished_counts(
+            self.derived_allele_counts, self.total_samples_count,
+            num_csfs_samples, self.fold_to_minor, seed)
+        if nat is not None:
+            self._undistinguished_cache = nat
+            return nat
+        rand = GlibcRand(seed)
         sites = self.sites
         out = np.empty((sites, 3), dtype=np.int32)
         dac = self.derived_allele_counts

@@ -1,0 +1,139 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Compiled on demand with the system toolchain into ``build/`` next to this
+package; all entry points have pure-Python fallbacks (utils/cxx_rng.py and
+hashing/germline.py), so the framework works without a compiler — the
+native path is a several-hundred-fold speedup for the host-side hot loops.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastsmc_native.cpp")
+_BUILD_DIR = os.path.join(_HERE, "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libfastsmc_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _compile() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           _SRC, "-o", _LIB_PATH]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+        return r.returncode == 0 and os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        src_mtime = os.path.getmtime(_SRC)
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < src_mtime):
+            if not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        lib.fastsmc_undistinguished.restype = ctypes.c_int
+        lib.fastsmc_undistinguished.argtypes = [
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.fastsmc_hash_scan.restype = ctypes.c_long
+        lib.fastsmc_hash_scan.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_double,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+        ]
+        _lib = lib
+        return _lib
+
+
+def undistinguished_counts(derived: np.ndarray, total: np.ndarray,
+                           csfs_samples: int, fold: bool,
+                           seed: int) -> Optional[np.ndarray]:
+    """Native undistinguished-count sampling; None if the library is
+    unavailable (caller falls back to the Python implementation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sites = len(derived)
+    out = np.empty((sites, 3), dtype=np.int32)
+    rc = lib.fastsmc_undistinguished(
+        sites, np.ascontiguousarray(derived, np.int32),
+        np.ascontiguousarray(total, np.int32),
+        int(csfs_samples), int(bool(fold)), int(seed) & 0xFFFFFFFF, out)
+    if rc != 0:
+        return None
+    return out
+
+
+def hash_scan(words: np.ndarray, id_num: np.ndarray, *, haploid: bool,
+              windows, min_m: float, genetic_positions: np.ndarray,
+              word_size: int, read_ahead: int, gap: int, max_seeds: int,
+              skip: float) -> Optional[tuple]:
+    """Native GERMLINE2 scan. Returns (id1, id2, from, to) int arrays or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_haps, n_words = words.shape
+    cap = max(65536, n_haps * 64)
+    gpos = np.ascontiguousarray(genetic_positions, np.float32)
+    idn = np.ascontiguousarray(id_num, np.int64)
+    w = np.ascontiguousarray(words, np.uint64)
+    while True:
+        out1 = np.empty(cap, np.int32)
+        out2 = np.empty(cap, np.int32)
+        outf = np.empty(cap, np.int64)
+        outt = np.empty(cap, np.int64)
+        if windows is not None:
+            args = (1, windows.jobs, windows.job_ind, windows.w_i,
+                    windows.w_j, windows.window_size,
+                    int(windows.is_j_above_diag))
+        else:
+            args = (0, 1, 1, 1, 1, 0, 0)
+        n = lib.fastsmc_hash_scan(
+            w, n_haps, n_words, idn, int(bool(haploid)), args[0], args[1],
+            args[2], args[3], args[4], args[5], args[6], float(min_m), gpos,
+            len(gpos), int(word_size), int(read_ahead), int(gap),
+            int(max_seeds), float(skip), out1, out2, outf, outt, cap)
+        if n >= 0:
+            return out1[:n].copy(), out2[:n].copy(), outf[:n].copy(), \
+                outt[:n].copy()
+        cap *= 4

@@ -150,3 +150,44 @@ def test_jobbed_pair_sets_partition_full_set():
     total = sum(len(p) for p in parts)
     assert total == len(union), "jobs must not duplicate pairs"
     assert union == full, f"missing {full - union}, extra {union - full}"
+
+
+def test_native_scan_matches_python():
+    """The C++ scan must reproduce the Python oracle exactly, including
+    emission order (both use insertion-ordered buckets/match tables)."""
+    from fastsmc_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    sites = 64 * 10
+    bits = rng.integers(0, 2, (30, sites)).astype(np.uint8)
+    for (a, b) in [(0, 5), (3, 17), (10, 22), (8, 9), (2, 29)]:
+        bits[b, 128:512] = bits[a, 128:512]
+    cm = np.linspace(0, 40, sites)
+    data = make_data(bits, cm)
+    for kw in ({}, {"max_seeds": 4}, {"gap": 2}, {"skip": 0.9}):
+        p = params_for(min_m=1.0, **kw)
+        got_n, got_p = [], []
+        HashingScan(p, data, lambda *a: got_n.append(a)).run(use_native=True)
+        HashingScan(p, data, lambda *a: got_p.append(a)).run(use_native=False)
+        assert got_n == got_p, f"params {kw}"
+
+
+def test_native_undistinguished_matches_python():
+    from fastsmc_tpu import native
+    from fastsmc_tpu.utils.cxx_rng import GlibcRand, sample_hypergeometric
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    dac = rng.integers(0, 300, 50).astype(np.int32)
+    tot = np.full(50, 600, np.int32)
+    nat = native.undistinguished_counts(dac, tot, 300, True, 1234)
+    r = GlibcRand(1234)
+    py = np.empty((50, 3), np.int32)
+    for i in range(50):
+        for d in range(3):
+            s = sample_hypergeometric(r, int(tot[i]) - 2, int(dac[i]) - d, 298)
+            if s + d > 150:
+                s = 298 - s
+            py[i, d] = s
+    assert np.array_equal(nat, py)
