@@ -29,6 +29,7 @@ from ..io.decoding_quantities import DecodingQuantities
 from ..io.haps import Data, load_data
 from ..io import writers
 from ..hashing.germline import HashingScan
+from ..utils.timer import PhaseTimer
 
 
 def get_from_position(genetic_positions: np.ndarray, from_pos: int,
@@ -93,6 +94,7 @@ class FastSMC:
             else self.state_threshold
 
         self._writer = None
+        self.timer = PhaseTimer()
         self._batch: List[_BatchSlot] = []
         self._from = np.zeros(params.batch_size, dtype=np.int64)
         self._to = np.full(params.batch_size, self.data.sites, dtype=np.int64)
@@ -147,18 +149,22 @@ class FastSMC:
         t_len = bucket_len(to - frm)
 
         need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
-        post, th_sums = self._decode(hap1, hap2, frm, t_len, need_ages)
+        with self.timer.phase("decode"):
+            post, th_sums = self._decode(hap1, hap2, frm, t_len, need_ages)
 
         # segment scan window: the batch union [start, end) — the reference's
         # permissive override (HMM.cpp:1199-1204)
-        s0 = start_batch - frm
-        s1 = end_batch - frm
-        sums_w = th_sums[s0:s1]
-        post_w = post[s0:s1] if post is not None else None
-        segs = seg.extract_segments(sums_w, self.prob_threshold, start_batch,
-                                    post_w, self.age_threshold)
-        segs = [s for s in segs if s.pair < n]
-        self._emit(segs, hap1, hap2)
+        with self.timer.phase("segments"):
+            s0 = start_batch - frm
+            s1 = end_batch - frm
+            sums_w = th_sums[s0:s1]
+            post_w = post[s0:s1] if post is not None else None
+            segs = seg.extract_segments(sums_w, self.prob_threshold,
+                                        start_batch, post_w,
+                                        self.age_threshold)
+            segs = [s for s in segs if s.pair < n]
+        with self.timer.phase("outputPerPair"):
+            self._emit(segs, hap1, hap2)
         self._batch.clear()
 
     def _decode(self, hap1, hap2, frm: int, t_len: int, need_ages: bool
@@ -261,10 +267,12 @@ class FastSMC:
     def run(self, verbose: bool = True) -> str:
         """Full pipeline; returns the output path."""
         t0 = time.time()
+        self.timer = PhaseTimer()
         path = self._open_writer()
         if self.params.hashing:
-            scan = HashingScan(self.params, self.data, self._on_match)
-            scan.run(verbose=verbose)
+            with self.timer.phase("identification"):
+                scan = HashingScan(self.params, self.data, self._on_match)
+                scan.run(verbose=verbose)
             self._flush(len(self._batch))
         else:
             self._run_no_hashing()
@@ -273,4 +281,5 @@ class FastSMC:
             print(f"[fastsmc] {self.n_segments} segments "
                   f"({self._cpt} candidates) in {time.time() - t0:.2f}s "
                   f"-> {path}")
+            self.timer.report()
         return path

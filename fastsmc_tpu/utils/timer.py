@@ -1,0 +1,45 @@
+"""Phase timing with percentage breakdown (parity feature).
+
+The reference HMM keeps per-phase tick accumulators and prints a
+percentage breakdown after decodeAll (HMM.hpp:159-165, HMM.cpp:371-378,
+HmmUtils.cpp:96-100). This module provides the same observability for the
+TPU pipelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict
+
+
+class PhaseTimer:
+    def __init__(self):
+        self.t0 = time.time()
+        self.acc: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t = time.time()
+        try:
+            yield
+        finally:
+            self.acc[name] = self.acc.get(name, 0.0) + (time.time() - t)
+
+    def total(self) -> float:
+        return time.time() - self.t0
+
+    def report(self, out=None) -> str:
+        """Percentage breakdown like asmc::printPctTime (HmmUtils.cpp:96-100)."""
+        total = self.total()
+        lines = []
+        accounted = 0.0
+        for name, v in self.acc.items():
+            lines.append(f"Time in {name:<14} : {100.0 * v / total:5.1f}%")
+            accounted += v
+        lines.append(f"Time in {'other':<14} : "
+                     f"{100.0 * (total - accounted) / total:5.1f}%")
+        text = "\n".join(lines)
+        if out is not None:
+            print(text, file=out)
+        return text

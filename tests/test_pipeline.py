@@ -1,0 +1,131 @@
+"""End-to-end FastSMC pipeline on a small synthetic panel (CPU)."""
+
+import gzip
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic_panel(tmp_path_factory):
+    """150 diploid samples x 640 sites with planted IBD segments, written in
+    the reference file formats (hap.gz / samples / 3-col map.gz)."""
+    d = tmp_path_factory.mktemp("panel")
+    rng = np.random.default_rng(123)
+    n_ind, sites = 150, 640
+    n_haps = 2 * n_ind
+    freqs = rng.uniform(0.05, 0.5, sites)
+    bits = (rng.random((n_haps, sites)) < freqs).astype(np.uint8)
+    # plant long shared segments (word-aligned-ish)
+    planted = [(4, 31, 64, 512), (100, 205, 128, 576), (7, 8, 0, 448)]
+    for (a, b, s, e) in planted:
+        bits[b, s:e] = bits[a, s:e]
+
+    bp = (np.arange(sites) + 1) * 5000
+    cm = np.linspace(0.0, 8.0, sites)   # 8 cM total
+
+    root = str(d / "panel")
+    with gzip.open(root + ".hap.gz", "wt") as f:
+        for s in range(sites):
+            alleles = " ".join(str(int(x)) for x in bits[:, s])
+            f.write(f"1 SNP_{s} {bp[s]} A G {alleles}\n")
+    with open(root + ".samples", "w") as f:
+        f.write("ID_1 ID_2 missing\n0 0 0\n")
+        for i in range(n_ind):
+            f.write(f"fam{i} ind{i} 0\n")
+    with gzip.open(root + ".map.gz", "wt") as f:
+        f.write("pos rate cm\n")
+        for s in range(sites):
+            f.write(f"{bp[s]}\t0\t{cm[s]}\n")
+    return root, planted, bits
+
+
+@pytest.mark.slow
+def test_fastsmc_end_to_end_cpu(synthetic_panel, repo_root, tmp_path):
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, planted, bits = synthetic_panel
+    params = DecodingParams.fastsmc_defaults(
+        root, str(repo_root / "artifacts" /
+                  "n300.array.decodingQuantities.npz"),
+        str(tmp_path / "out"), use_known_seed=True, min_m=0.5)
+    f = FastSMC(params, use_pallas=False)
+    path = f.run(verbose=False)
+
+    with gzip.open(path, "rt") as fh:
+        lines = [l.split("\t") for l in fh.read().splitlines()]
+    assert lines, "no segments detected"
+    # every record is well-formed: 13 columns with increasing bp
+    for rec in lines:
+        assert len(rec) == 13
+        assert int(rec[7]) <= int(rec[8])
+        assert rec[6] == "1"
+        assert float(rec[10]) >= 0.0   # ibd score
+
+    # the planted pairs must be among the detected segments
+    found_pairs = {(r[1], int(r[2]), r[4], int(r[5])) for r in lines}
+    for (a, b, s, e) in planted:
+        ia, ha = a // 2, 1 + a % 2
+        ib, hb = b // 2, 1 + b % 2
+        key = (f"ind{ia}", ha, f"ind{ib}", hb)
+        key_r = (f"ind{ib}", hb, f"ind{ia}", ha)
+        assert key in found_pairs or key_r in found_pairs, \
+            f"planted pair {key} not detected"
+
+
+@pytest.mark.slow
+def test_fastsmc_binary_output_roundtrip(synthetic_panel, repo_root, tmp_path):
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.io.writers import BinaryDataReader
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, planted, bits = synthetic_panel
+    kw = dict(use_known_seed=True, min_m=0.5)
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    p_txt = DecodingParams.fastsmc_defaults(
+        root, dq, str(tmp_path / "t"), **kw)
+    FastSMC(p_txt, use_pallas=False).run(verbose=False)
+    p_bin = DecodingParams.fastsmc_defaults(
+        root, dq, str(tmp_path / "b"), bin_out=True, **kw)
+    FastSMC(p_bin, use_pallas=False).run(verbose=False)
+
+    with gzip.open(p_txt.ibd_output_path(), "rt") as fh:
+        text_lines = fh.read().splitlines()
+    bin_lines = [l.to_string() for l in
+                 BinaryDataReader(p_bin.ibd_output_path())]
+    assert len(text_lines) == len(bin_lines)
+    # binary stores float32; text from text-writer also float32-formatted
+    for t, b in zip(text_lines[:50], bin_lines[:50]):
+        tt, bb = t.split("\t"), b.split("\t")
+        assert tt[:9] == bb[:9]
+
+
+@pytest.mark.slow
+def test_jobbed_fastsmc_union_covers_single_job(synthetic_panel, repo_root,
+                                                tmp_path):
+    """4-job run must produce the same *pair coverage* as a single job (the
+    reference merges per-job files by concatenation)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, planted, bits = synthetic_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(jobs, job_ind, tag):
+        p = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), jobs=jobs, job_ind=job_ind,
+            use_known_seed=True, min_m=0.5)
+        f = FastSMC(p, use_pallas=False)
+        path = f.run(verbose=False)
+        with gzip.open(path, "rt") as fh:
+            return {tuple(l.split("\t")[:6]) for l in fh.read().splitlines()}
+
+    full = run(1, 1, "full")
+    union = set()
+    for j in range(1, 5):
+        union |= run(4, j, f"job{j}")
+    assert union == full
