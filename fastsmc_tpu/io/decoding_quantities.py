@@ -30,12 +30,19 @@ def round_morgans(value, precision: int = 2, min_genetic: float = 1e-10):
     """
     v = np.asarray(value, dtype=np.float32)
     correction = np.float32(10.0 - precision)
-    l10 = np.maximum(np.float32(0.0),
-                     np.floor(np.log10(np.maximum(v, np.float32(1e-37))))
-                     + correction)
-    factor = np.power(np.float32(10.0), np.float32(10.0) - l10).astype(np.float32)
-    rounded = (np.round(v * factor) / factor).astype(np.float32)
-    out = np.where(v <= np.float32(min_genetic), np.float32(min_genetic), rounded)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        l10 = np.maximum(np.float32(0.0),
+                         np.floor(np.log10(np.maximum(v, np.float32(1e-37))))
+                         + correction)
+        factor = np.power(np.float32(10.0),
+                          np.float32(10.0) - l10).astype(np.float32)
+        rounded = (np.round(v * factor) / factor).astype(np.float32)
+        out = np.where(v <= np.float32(min_genetic), np.float32(min_genetic),
+                       rounded)
+        # zero-bp gaps give NaN/inf recombination rates; the reference would
+        # throw on the map lookup (Data.cpp:194 + map::at) — clamp to the
+        # minimum distance instead so such panels remain decodable
+        out = np.where(np.isfinite(out), out, np.float32(min_genetic))
     return out if out.ndim else np.float32(out)
 
 

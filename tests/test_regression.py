@@ -1,0 +1,67 @@
+"""Golden-output regressions (self-goldens; see PARITY.md for why the
+reference's shipped goldens cannot be regenerated from this snapshot)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+
+def _tpu_available():
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_fastsmc_example_array_matches_golden(repo_root, tmp_path):
+    """Full FastSMC pipeline on the example_array panel must reproduce the
+    frozen golden byte-for-byte (TPU Pallas engine)."""
+    if not _tpu_available():
+        pytest.skip("requires TPU backend")
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    params = DecodingParams.fastsmc_defaults(
+        str(repo_root / "artifacts" / "panels" / "example_array" / "example"),
+        str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz"),
+        str(tmp_path / "out"), use_known_seed=True)
+    f = FastSMC(params)
+    path = f.run(verbose=False)
+    got = gzip.open(path, "rb").read()
+    want = gzip.open(str(repo_root / "tests" / "fixtures" /
+                         "example_array.golden.FastSMC.ibd.gz"), "rb").read()
+    assert got == want
+
+
+@pytest.mark.slow
+def test_sequence_mode_oracle_vs_batched(repo_root):
+    """Sequence decoding mode (two half-steps per site with homozygous
+    emissions, HMM.cpp:760-770/915-925): XLA engine vs scalar oracle."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.engine.hmm import BatchedDecoder
+    from fastsmc_tpu.engine.oracle import DecodeContext, decode_pair
+    from fastsmc_tpu.io.decoding_quantities import DecodingQuantities
+    from fastsmc_tpu.io.haps import load_data
+
+    params = DecodingParams.asmc(
+        "/root/reference/FILES/EXAMPLE/exampleFile.n300",
+        str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz"),
+        out_file_root="/tmp/seqtest",
+        decoding_mode="sequence", do_posterior_sums=True,
+        use_known_seed=True)
+    data = load_data(params)
+    dq = DecodingQuantities.load_npz(params.decoding_quant_file)
+    ctx = DecodeContext.build(params, data, dq)
+    dec = BatchedDecoder(ctx)
+    pa = np.array([1, 5, 9, 13, 21, 33, 41, 57], np.int32)
+    pb = np.array([2, 6, 10, 14, 22, 34, 42, 58], np.int32)
+    t0 = 1000
+    post = np.asarray(dec.decode_pairs(pa, pb, t0, 128))
+    for i in range(3):
+        ref = decode_pair(ctx, int(pa[i]), int(pb[i]), t0, t0 + 128)
+        np.testing.assert_allclose(post[:, :, i].T, ref, atol=2e-4)
