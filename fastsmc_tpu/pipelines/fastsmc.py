@@ -76,7 +76,8 @@ class FastSMC:
         self.ctx = DecodeContext.build(params, self.data, self.dq)
         if use_pallas is None:
             import jax
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and not params.decoding_sequence)
         if use_pallas:
             from ..engine.kernels import PallasDecoder, BwdOutputs
             self.decoder = PallasDecoder(self.ctx)
@@ -158,14 +159,35 @@ class FastSMC:
             s0 = start_batch - frm
             s1 = end_batch - frm
             sums_w = th_sums[s0:s1]
-            post_w = post[s0:s1] if post is not None else None
             segs = seg.extract_segments(sums_w, self.prob_threshold,
-                                        start_batch, post_w,
+                                        start_batch, None,
                                         self.age_threshold)
             segs = [s for s in segs if s.pair < n]
+            if need_ages and segs:
+                self._fill_pps(segs, post, frm)
         with self.timer.phase("outputPerPair"):
             self._emit(segs, hap1, hap2)
         self._batch.clear()
+
+    def _fill_pps(self, segs: List[seg.Segment], post, frm: int) -> None:
+        """Per-segment posterior-state sums, computed on device via an
+        indicator matmul over the run intervals (replaces transferring the
+        full [T, K, P] posterior to host)."""
+        import jax.numpy as jnp
+        T = post.shape[0]
+        n_seg = len(segs)
+        n_pad = bucket_len(n_seg, 32)   # bound jit shapes
+        ind = np.zeros((n_pad, T), np.float32)
+        p_idx = np.zeros(n_pad, np.int32)
+        for i, s in enumerate(segs):
+            ind[i, s.start - frm:s.end - frm + 1] = 1.0
+            p_idx[i] = s.pair
+        post_g = jnp.take(jnp.asarray(post), jnp.asarray(p_idx),
+                          axis=2)                      # [T, K, n_pad]
+        pps = np.asarray(jnp.einsum("it,tki->ik", jnp.asarray(ind), post_g,
+                                    precision="highest"))
+        for i, s in enumerate(segs):
+            s.pps = pps[i, :self.age_threshold]
 
     def _decode(self, hap1, hap2, frm: int, t_len: int, need_ages: bool
                 ) -> Tuple[Optional[np.ndarray], np.ndarray]:
@@ -176,10 +198,10 @@ class FastSMC:
                 per_pair_mean=False, per_pair_map=False, threshold_sums=True)
             r = self.decoder.decode_pairs(hap1, hap2, frm, t_len, outs,
                                           self.state_threshold)
-            post = np.asarray(r["posterior"]) if need_ages else None
+            post = r["posterior"] if need_ages else None  # stays on device
             return post, np.asarray(r["threshold_sums"])
-        post = np.asarray(self.decoder.decode_pairs(hap1, hap2, frm, t_len))
-        th = post[:, :self.state_threshold, :].sum(axis=1)
+        post = self.decoder.decode_pairs(hap1, hap2, frm, t_len)
+        th = np.asarray(post[:, :self.state_threshold, :].sum(axis=1))
         return (post if need_ages else None), th
 
     def _emit(self, segs: List[seg.Segment], hap1, hap2):
@@ -257,10 +279,11 @@ class FastSMC:
             need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
             post, th = self._decode(h1, h2, 0, t_len, need_ages)
             sums_w = th[:L]
-            post_w = post[:L] if post is not None else None
             segs = seg.extract_segments(sums_w, self.prob_threshold, 0,
-                                        post_w, self.age_threshold)
+                                        None, self.age_threshold)
             segs = [s for s in segs if s.pair < n]
+            if need_ages and segs:
+                self._fill_pps(segs, post, 0)
             self._emit(segs, h1, h2)
 
     # ------------------------------------------------------------------
