@@ -129,3 +129,49 @@ def test_jobbed_fastsmc_union_covers_single_job(synthetic_panel, repo_root,
     for j in range(1, 5):
         union |= run(4, j, f"job{j}")
     assert union == full
+
+
+@pytest.mark.slow
+def test_asmc_decode_all_and_api(synthetic_panel, repo_root, tmp_path):
+    """ASMC all-pairs sums + decodePairs API on CPU."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.asmc import ASMC
+    from fastsmc_tpu.engine.oracle import decode_pair
+
+    root, planted, bits = synthetic_panel
+    params = DecodingParams.asmc(
+        root, str(repo_root / "artifacts" /
+                  "n300.array.decodingQuantities.npz"),
+        str(tmp_path / "asmc"), do_posterior_sums=True,
+        do_major_minor_posterior_sums=True, use_known_seed=True,
+        jobs=4, job_ind=2, fastsmc=True)
+    asmc = ASMC(params, use_pallas=False, batch_size=64)
+    res = asmc.decode_all_in_job(verbose=False)
+    L, K = res.sites, res.states
+    assert res.sum_over_pairs.shape == (L, K)
+    # column sums: each decoded pair contributes 1 per position
+    n_pairs = len(asmc._job_pairs())
+    np.testing.assert_allclose(res.sum_over_pairs.sum(axis=1), n_pairs,
+                               rtol=1e-3)
+    # major/minor partition adds back to the total
+    total = (res.sum_over_pairs00 + res.sum_over_pairs01
+             + res.sum_over_pairs11)
+    np.testing.assert_allclose(total, res.sum_over_pairs, rtol=2e-3,
+                               atol=2e-3)
+    asmc.write_outputs(res)
+    assert (tmp_path / "asmc.sumOverPairs.gz").exists()
+    assert (tmp_path / "asmc.00.sumOverPairs.gz").exists()
+
+    # decodePairs API vs the oracle
+    r = asmc.decode_pairs([1, 5], [2, 6], per_pair_posteriors=True,
+                          sum_of_posteriors=True)
+    assert len(r.per_pair_indices) == 2
+    ref = decode_pair(asmc.ctx, 1, 2)
+    expt = asmc.dq.expected_times
+    want_mean = (ref * expt[:, None]).sum(axis=0)
+    np.testing.assert_allclose(r.per_pair_posterior_means[0], want_mean,
+                               rtol=5e-3)
+    assert r.per_pair_maps.shape == (2, res.sites)
+    np.testing.assert_allclose(
+        r.sum_of_posteriors,
+        r.per_pair_posteriors.sum(axis=0), rtol=1e-4)
