@@ -51,28 +51,32 @@ def _round8(n: int) -> int:
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, x0_ref,
-                alpha_ref, carry):
-    t = pl.program_id(0)
+def _make_fwd_kernel(ka: int):
+    def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, x0_ref,
+               alpha_ref, carry):
+        t = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _():
-        carry[:] = x0_ref[:]
+        @pl.when(t == 0)
+        def _():
+            carry[:] = x0_ref[:]
 
-    @pl.when(t > 0)
-    def _():
-        e = em_ref[0]                     # [3, KC]
-        o = obs_ref[0]                    # [2, P]
-        em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
-              + e[2][:, None] * o[1][None, :])
-        c = jnp.dot(m_ref[0], carry[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        c = c * em
-        s = jnp.sum(c, axis=0, keepdims=True)
-        inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
-        carry[:] = c * inv
+        @pl.when(t > 0)
+        def _():
+            e = em_ref[0]                     # [3, KC]
+            o = obs_ref[0]                    # [2, P]
+            em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
+                  + e[2][:, None] * o[1][None, :])
+            c = jnp.dot(m_ref[0], carry[:],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            c = c * em
+            s = jnp.sum(c, axis=0, keepdims=True)
+            inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
+            carry[:] = c * inv
 
-    alpha_ref[0] = carry[:]
+        # store only the KA real (rounded-to-8) state rows to HBM
+        alpha_ref[0] = carry[:ka]
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +96,7 @@ _OUT_NAMES = ("posterior", "posterior_sums", "per_pair_mean",
               "per_pair_map", "threshold_sums", "major_minor_sums")
 
 
-def _make_bwd_kernel(outs: BwdOutputs, K: int, state_threshold: int):
+def _make_bwd_kernel(outs: BwdOutputs, K: int, ka: int, state_threshold: int):
     def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, obs_cur_ref,
                alpha_ref, exp_ref, *out_and_scratch):
         refs = list(out_and_scratch)
@@ -124,7 +128,7 @@ def _make_bwd_kernel(outs: BwdOutputs, K: int, state_threshold: int):
             inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
             carry[:] = c * inv
 
-        post = alpha_ref[0] * carry[:]
+        post = alpha_ref[0] * carry[:ka]          # [KA, P]
         post = post / jnp.sum(post, axis=0, keepdims=True)
 
         if outs.posterior:
@@ -133,7 +137,7 @@ def _make_bwd_kernel(outs: BwdOutputs, K: int, state_threshold: int):
             out_refs["posterior_sums"][0, 0] = jnp.sum(post, axis=1)
         if outs.per_pair_mean:
             out_refs["per_pair_mean"][0, 0] = jnp.sum(
-                post * exp_ref[0][:, None], axis=0)
+                post * exp_ref[0][:ka][:, None], axis=0)
         if outs.per_pair_map:
             out_refs["per_pair_map"][0, 0] = jnp.argmax(
                 post, axis=0).astype(jnp.float32)
@@ -268,6 +272,7 @@ class PallasDecoder:
         x0 = x0 / jnp.sum(x0, axis=0, keepdims=True)
 
         interp = self.interpret
+        KA = _round8(K)
 
         # --- forward -------------------------------------------------------
         fwd_grid = pltpu.PrefetchScalarGridSpec(
@@ -280,13 +285,13 @@ class PallasDecoder:
                 pl.BlockSpec((1, 2, P), lambda t, ops, mask: (t, 0, 0)),
                 pl.BlockSpec((KC, P), lambda t, ops, mask: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, KC, P),
+            out_specs=pl.BlockSpec((1, KA, P),
                                    lambda t, ops, mask: (t, 0, 0)),
             scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
         )
         alpha = pl.pallas_call(
-            _fwd_kernel, grid_spec=fwd_grid,
-            out_shape=jax.ShapeDtypeStruct((T, KC, P), jnp.float32),
+            _make_fwd_kernel(KA), grid_spec=fwd_grid,
+            out_shape=jax.ShapeDtypeStruct((T, KA, P), jnp.float32),
             interpret=interp,
         )(ops_f, fwd_mask, self.Mf, em, obs, x0)
 
@@ -297,17 +302,17 @@ class PallasDecoder:
         bwd_mask = (((t0 + T - 1 - steps) % self._scaling_skip) == 0
                     ).astype(jnp.int32)
 
-        kernel = _make_bwd_kernel(outs, K, state_threshold)
+        kernel = _make_bwd_kernel(outs, K, KA, state_threshold)
         out_shapes = []
         out_specs = []
         if outs.posterior:
-            out_shapes.append(jax.ShapeDtypeStruct((T, KC, P), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((T, KA, P), jnp.float32))
             out_specs.append(pl.BlockSpec(
-                (1, KC, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+                (1, KA, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
         if outs.posterior_sums:
-            out_shapes.append(jax.ShapeDtypeStruct((T, 1, KC), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((T, 1, KA), jnp.float32))
             out_specs.append(pl.BlockSpec(
-                (1, 1, KC), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+                (1, 1, KA), lambda t, ops, mask: (T - 1 - t, 0, 0)))
         if outs.per_pair_mean:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
             out_specs.append(pl.BlockSpec(
@@ -321,9 +326,9 @@ class PallasDecoder:
             out_specs.append(pl.BlockSpec(
                 (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
         if outs.major_minor_sums:
-            out_shapes.append(jax.ShapeDtypeStruct((T, 3, KC), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((T, 3, KA), jnp.float32))
             out_specs.append(pl.BlockSpec(
-                (1, 3, KC), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+                (1, 3, KA), lambda t, ops, mask: (T - 1 - t, 0, 0)))
 
         def em_obs_idx(t, ops, mask):
             # pos+1 = T - t for t >= 1; unused (valid) slot T-1 at t=0
@@ -339,7 +344,7 @@ class PallasDecoder:
                 pl.BlockSpec((1, 2, P), em_obs_idx),
                 pl.BlockSpec((1, 2, P),
                              lambda t, ops, mask: (T - 1 - t, 0, 0)),
-                pl.BlockSpec((1, KC, P),
+                pl.BlockSpec((1, KA, P),
                              lambda t, ops, mask: (T - 1 - t, 0, 0)),
                 pl.BlockSpec((1, KC), lambda t, ops, mask: (0, 0)),
             ],

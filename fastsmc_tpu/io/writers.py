@@ -44,8 +44,8 @@ class IbdTextWriter:
     """Streaming text IBD writer (HMM.cpp:1114-1144)."""
 
     def __init__(self, path: str, fam_ids: List[str], iids: List[str],
-                 chr_number: int):
-        self._f = gzip.open(path, "wt")
+                 chr_number: int, append: bool = False):
+        self._f = gzip.open(path, "at" if append else "wt")
         self.fam = fam_ids
         self.iid = iids
         self.chr = chr_number
@@ -74,12 +74,14 @@ class IbdBinaryWriter:
 
     def __init__(self, path: str, fam_ids: List[str], iids: List[str],
                  chr_number: int, has_length: bool, has_post: bool,
-                 has_map: bool):
-        self._f = gzip.open(path, "wb")
+                 has_map: bool, append: bool = False):
+        self._f = gzip.open(path, "ab" if append else "wb")
         self.has_length = has_length
         self.has_post = has_post
         self.has_map = has_map
         self.n_written = 0
+        if append:
+            return  # header was written by the original run
         f = self._f
         f.write(struct.pack("<???i", has_length, has_post, has_map,
                             chr_number))

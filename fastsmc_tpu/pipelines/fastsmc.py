@@ -101,20 +101,27 @@ class FastSMC:
         self._to = np.full(params.batch_size, self.data.sites, dtype=np.int64)
         self._cpt = 0
         self.n_segments = 0
+        # checkpoint/resume (an improvement over the reference, which can
+        # only restart a killed job from scratch — SURVEY.md §5.4): batches
+        # are deterministic, so a partial run can be resumed by replaying the
+        # candidate stream and skipping already-flushed batches.
+        self._batch_idx = 0
+        self._resume_skip = 0
 
     # ------------------------------------------------------------------
-    def _open_writer(self):
+    def _open_writer(self, append: bool = False):
         p = self.params
         path = p.ibd_output_path()
         if p.bin_out:
             self._writer = writers.IbdBinaryWriter(
                 path, self.data.fam_id_list, self.data.iid_list,
                 self.data.chr_number, p.output_ibd_segment_length,
-                p.do_per_pair_posterior_mean, p.do_per_pair_map)
+                p.do_per_pair_posterior_mean, p.do_per_pair_map,
+                append=append)
         else:
             self._writer = writers.IbdTextWriter(
                 path, self.data.fam_id_list, self.data.iid_list,
-                self.data.chr_number)
+                self.data.chr_number, append=append)
         return path
 
     # ------------------------------------------------------------------
@@ -132,6 +139,11 @@ class FastSMC:
     def _flush(self, n: int):
         if n == 0:
             return
+        if self._batch_idx < self._resume_skip:
+            self._batch_idx += 1
+            self._batch.clear()
+            return
+        self._batch_idx += 1
         p = self.params
         g = self.data.genetic_positions
         start_batch = int(self._from[:n].min())
@@ -168,6 +180,23 @@ class FastSMC:
         with self.timer.phase("outputPerPair"):
             self._emit(segs, hap1, hap2)
         self._batch.clear()
+        self._write_progress()
+
+    def _write_progress(self):
+        """Crash-safe checkpoint: close the current gzip member so the file
+        is valid up to here, record (batches, segments, byte offset), and
+        reopen in append mode. On resume the file is truncated back to the
+        recorded offset, discarding any partially-written member."""
+        import os
+        out = self.params.ibd_output_path()
+        self._writer.close()
+        offset = os.path.getsize(out)
+        path = out + ".progress"
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{self._batch_idx} {self.n_segments} {offset}\n")
+        os.replace(tmp, path)
+        self._open_writer(append=True)
 
     def _fill_pps(self, segs: List[seg.Segment], post, frm: int) -> None:
         """Per-segment posterior-state sums, computed on device via an
@@ -287,11 +316,28 @@ class FastSMC:
             self._emit(segs, h1, h2)
 
     # ------------------------------------------------------------------
-    def run(self, verbose: bool = True) -> str:
-        """Full pipeline; returns the output path."""
+    def run(self, verbose: bool = True, resume: bool = False) -> str:
+        """Full pipeline; returns the output path.
+
+        With ``resume=True`` a partially-written output is continued: the
+        deterministic candidate stream is replayed and batches already
+        flushed (per the ``.progress`` sidecar) are skipped.
+        """
+        import os
         t0 = time.time()
         self.timer = PhaseTimer()
-        path = self._open_writer()
+        progress = self.params.ibd_output_path() + ".progress"
+        append = False
+        if resume and os.path.exists(progress) \
+                and os.path.exists(self.params.ibd_output_path()):
+            done, nseg, offset = open(progress).read().split()
+            self._resume_skip = int(done)
+            self.n_segments = int(nseg)
+            # drop any partial gzip member written after the last checkpoint
+            with open(self.params.ibd_output_path(), "ab") as fh:
+                fh.truncate(int(offset))
+            append = True
+        path = self._open_writer(append=append)
         if self.params.hashing:
             with self.timer.phase("identification"):
                 scan = HashingScan(self.params, self.data, self._on_match)
@@ -300,6 +346,8 @@ class FastSMC:
         else:
             self._run_no_hashing()
         self._writer.close()
+        if os.path.exists(progress):
+            os.remove(progress)
         if verbose:
             print(f"[fastsmc] {self.n_segments} segments "
                   f"({self._cpt} candidates) in {time.time() - t0:.2f}s "

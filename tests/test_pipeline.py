@@ -175,3 +175,73 @@ def test_asmc_decode_all_and_api(synthetic_panel, repo_root, tmp_path):
     np.testing.assert_allclose(
         r.sum_of_posteriors,
         r.per_pair_posteriors.sum(axis=0), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fastsmc_resume(repo_root, tmp_path, monkeypatch):
+    """Kill the pipeline mid-run, resume, and get the identical output."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    # a denser panel: ~24 planted pairs so multiple batches flush
+    rng = np.random.default_rng(5)
+    n_ind, sites = 150, 640
+    n_haps = 2 * n_ind
+    freqs = rng.uniform(0.05, 0.5, sites)
+    bits = (rng.random((n_haps, sites)) < freqs).astype(np.uint8)
+    for i in range(24):
+        a, b = rng.choice(n_haps, 2, replace=False)
+        s0 = rng.integers(0, 128)
+        bits[b, s0:s0 + 448] = bits[a, s0:s0 + 448]
+    bp = (np.arange(sites) + 1) * 5000
+    cm = np.linspace(0.0, 8.0, sites)
+    root = str(tmp_path / "panel")
+    with gzip.open(root + ".hap.gz", "wt") as f:
+        for s in range(sites):
+            f.write(f"1 SNP_{s} {bp[s]} A G "
+                    + " ".join(str(int(x)) for x in bits[:, s]) + "\n")
+    with open(root + ".samples", "w") as f:
+        f.write("ID_1 ID_2 missing\n0 0 0\n")
+        for i in range(n_ind):
+            f.write(f"fam{i} ind{i} 0\n")
+    with gzip.open(root + ".map.gz", "wt") as f:
+        f.write("pos rate cm\n")
+        for s in range(sites):
+            f.write(f"{bp[s]}\t0\t{cm[s]}\n")
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def make(tag):
+        return DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
+            batch_size=8)
+
+    # full run for the expected output
+    f0 = FastSMC(make("full"), use_pallas=False)
+    f0.run(verbose=False)
+    want = gzip.open(f0.params.ibd_output_path(), "rb").read()  # decompressed
+    total_batches = f0._batch_idx
+    assert total_batches >= 2, "need multiple batches for this test"
+
+    # interrupted run: raise after the first flush
+    f1 = FastSMC(make("part"), use_pallas=False)
+    orig_flush = f1._flush
+
+    class Boom(Exception):
+        pass
+
+    def exploding_flush(n):
+        orig_flush(n)
+        if f1._batch_idx >= 1:
+            raise Boom()
+
+    f1._flush = exploding_flush
+    with pytest.raises(Boom):
+        f1.run(verbose=False)
+    assert os.path.exists(f1.params.ibd_output_path() + ".progress")
+
+    # resume with a fresh pipeline object
+    f2 = FastSMC(make("part"), use_pallas=False)
+    f2.run(verbose=False, resume=True)
+    got = gzip.open(f2.params.ibd_output_path(), "rb").read()  # decompressed
+    assert got == want
+    assert not os.path.exists(f2.params.ibd_output_path() + ".progress")
