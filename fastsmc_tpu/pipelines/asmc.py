@@ -102,30 +102,46 @@ class ASMC:
             self._outs_cls = None
 
     # ------------------------------------------------------------------
-    def _job_pairs(self) -> List[Tuple[int, int]]:
-        """Pair enumeration + flat range split (HMM.cpp:310-364).
+    @staticmethod
+    def pairs_from_flat_indices(idx: np.ndarray, within_only: bool = False
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Closed-form mapping of the reference's flat pair enumeration
+        (HMM.cpp:325-357) so biobank-scale ranges never materialise lists.
 
-        Returns (hap_row_1, hap_row_2) with the first element being the
-        reference's obs.iInd (lower individual)."""
+        Ordering per individual i: for j < i, (iHap, jHap) in row-major
+        {1,2}x{1,2} emitting hap rows (2j+jHap, 2i+iHap); then the
+        within-individual pair (2i, 2i+1).  Cumulative count before i is
+        C(i) = 2*i^2 - i.
+        """
+        idx = np.asarray(idx, dtype=np.int64)
+        if within_only:
+            return 2 * idx, 2 * idx + 1
+        # invert C(i) = 2 i^2 - i <= p  =>  i = floor((1 + sqrt(1+8p)) / 4)
+        i = ((1.0 + np.sqrt(1.0 + 8.0 * idx.astype(np.float64))) / 4.0
+             ).astype(np.int64)
+        # float guard around the boundary
+        i = np.where(2 * i * i - i > idx, i - 1, i)
+        i = np.where(2 * (i + 1) * (i + 1) - (i + 1) <= idx, i + 1, i)
+        r = idx - (2 * i * i - i)
+        cross = r < 4 * i
+        j = r // 4
+        ihap = (r % 4) // 2
+        jhap = r % 2
+        h1 = np.where(cross, 2 * j + jhap, 2 * i)
+        h2 = np.where(cross, 2 * i + ihap, 2 * i + 1)
+        return h1, h2
+
+    def _job_pair_range(self) -> Tuple[int, int]:
         p = self.params
         N = self.data.n_ind
         tot = N if p.within_only else 2 * N * N - N
-        start = tot * (p.job_ind - 1) // p.jobs
-        end = tot * p.job_ind // p.jobs
-        out: List[Tuple[int, int]] = []
-        pairs = 0
-        for i in range(N):
-            if not p.within_only:
-                for j in range(i):
-                    for ihap in (0, 1):
-                        for jhap in (0, 1):
-                            if start <= pairs < end:
-                                out.append((2 * j + jhap, 2 * i + ihap))
-                            pairs += 1
-            if start <= pairs < end:
-                out.append((2 * i, 2 * i + 1))
-            pairs += 1
-        return out
+        return (tot * (p.job_ind - 1) // p.jobs, tot * p.job_ind // p.jobs)
+
+    def _job_pairs(self) -> List[Tuple[int, int]]:
+        start, end = self._job_pair_range()
+        h1, h2 = self.pairs_from_flat_indices(
+            np.arange(start, end, dtype=np.int64), self.params.within_only)
+        return list(zip(h1.tolist(), h2.tolist()))
 
     # ------------------------------------------------------------------
     def decode_all_in_job(self, verbose: bool = True) -> DecodingReturnValues:
@@ -133,18 +149,20 @@ class ASMC:
         L, K = self.data.sites, self.dq.states
         t_len = bucket_len(L)
         bs = self.batch_size
-        pairs = self._job_pairs()
+        start, end = self._job_pair_range()
+        n_pairs = end - start
         t0 = time.time()
 
         sums = np.zeros((L, K), np.float64)
         mm = np.zeros((3, L, K), np.float64) \
             if p.do_major_minor_posterior_sums else None
 
-        for ofs in range(0, len(pairs), bs):
-            chunk = pairs[ofs:ofs + bs]
-            n = len(chunk)
-            h1 = np.fromiter((c[0] for c in chunk), np.int32, n)
-            h2 = np.fromiter((c[1] for c in chunk), np.int32, n)
+        for ofs in range(0, n_pairs, bs):
+            n = min(bs, n_pairs - ofs)
+            h1_64, h2_64 = self.pairs_from_flat_indices(
+                np.arange(start + ofs, start + ofs + n), p.within_only)
+            h1 = h1_64.astype(np.int32)
+            h2 = h2_64.astype(np.int32)
             if n < bs:
                 h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])
                 h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
@@ -178,11 +196,11 @@ class ASMC:
                         mm[wi] += np.einsum("tkp,tp->tk", post,
                                             w.astype(np.float32))
             if verbose:
-                done = min(ofs + bs, len(pairs))
-                print(f"\rDecoding progress: {100 * done // len(pairs)}% "
-                      f"({done}/{len(pairs)})", end="", flush=True)
+                done = min(ofs + bs, n_pairs)
+                print(f"\rDecoding progress: {100 * done // n_pairs}% "
+                      f"({done}/{n_pairs})", end="", flush=True)
         if verbose:
-            print(f"\nDecoded {len(pairs)} pairs in "
+            print(f"\nDecoded {n_pairs} pairs in "
                   f"{time.time() - t0:.3f} seconds.")
 
         out = DecodingReturnValues(
