@@ -51,9 +51,14 @@ def _round8(n: int) -> int:
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(ka: int):
-    def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, x0_ref,
-               alpha_ref, carry):
+def _make_fwd_kernel(ka: int, seq: bool = False):
+    def kernel(*refs):
+        if seq:
+            (ops_ref, rops_ref, mask_ref, m1_ref, m2_ref, em_ref, hem_ref,
+             obs_ref, x0_ref, alpha_ref, carry) = refs
+        else:
+            (ops_ref, mask_ref, m1_ref, em_ref, obs_ref, x0_ref,
+             alpha_ref, carry) = refs
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -66,9 +71,16 @@ def _make_fwd_kernel(ka: int):
             o = obs_ref[0]                    # [2, P]
             em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
                   + e[2][:, None] * o[1][None, :])
-            c = jnp.dot(m_ref[0], carry[:],
+            c = jnp.dot(m1_ref[0], carry[:],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
+            if seq:
+                # sequence mode: homozygous-emission half-step between
+                # markers, then the marker step (HMM.cpp:760-770)
+                mid = c * hem_ref[0, 0][:, None]
+                c = jnp.dot(m2_ref[0], mid,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             c = c * em
             s = jnp.sum(c, axis=0, keepdims=True)
             inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
@@ -96,9 +108,16 @@ _OUT_NAMES = ("posterior", "posterior_sums", "per_pair_mean",
               "per_pair_map", "threshold_sums", "major_minor_sums")
 
 
-def _make_bwd_kernel(outs: BwdOutputs, K: int, ka: int, state_threshold: int):
-    def kernel(ops_ref, mask_ref, m_ref, em_ref, obs_ref, obs_cur_ref,
-               alpha_ref, exp_ref, *out_and_scratch):
+def _make_bwd_kernel(outs: BwdOutputs, K: int, ka: int, state_threshold: int,
+                     seq: bool = False):
+    def kernel(*all_refs):
+        if seq:
+            (ops_ref, rops_ref, mask_ref, m1_ref, m2_ref, em_ref, hem_ref,
+             obs_ref, obs_cur_ref, alpha_ref, exp_ref,
+             *out_and_scratch) = all_refs
+        else:
+            (ops_ref, mask_ref, m1_ref, em_ref, obs_ref, obs_cur_ref,
+             alpha_ref, exp_ref, *out_and_scratch) = all_refs
         refs = list(out_and_scratch)
         out_refs = {}
         for name in _OUT_NAMES:
@@ -121,9 +140,19 @@ def _make_bwd_kernel(outs: BwdOutputs, K: int, ka: int, state_threshold: int):
             o = obs_ref[0]                # [2, P] at pos+1
             em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
                   + e[2][:, None] * o[1][None, :])
-            vec = carry[:] * em
-            c = jnp.dot(m_ref[0], vec, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+            if seq:
+                # HMM.cpp:915-925: homozygous half-step, then marker step
+                mid = jnp.dot(m1_ref[0], carry[:] * hem_ref[0, 0][:, None],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                c = jnp.dot(m2_ref[0], mid * em,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            else:
+                vec = carry[:] * em
+                c = jnp.dot(m1_ref[0], vec,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             s = jnp.sum(c, axis=0, keepdims=True)
             inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
             carry[:] = c * inv
@@ -183,14 +212,16 @@ class PallasDecoder:
         self.K = K
         self.L = ctx.data.sites
         self.interpret = interpret
-        if ctx.params.decoding_sequence:
-            raise NotImplementedError(
-                "sequence mode uses the XLA engine (BatchedDecoder) for now")
+        self.sequence = ctx.params.decoding_sequence
 
         # dense operators, padded to [G, KC, KC]
-        used = np.unique(np.concatenate(
-            [np.asarray(ctx.gap_idx),
-             np.asarray([int(dq.gen_dist_index(np.float32(0.0)))])]))
+        used_lists = [np.asarray(ctx.gap_idx),
+                      np.asarray([int(dq.gen_dist_index(np.float32(0.0)))])]
+        if self.sequence:
+            used_lists += [np.asarray(ctx.seq_gap_idx),
+                           np.asarray(ctx.seq_gap_idx_bwd),
+                           np.asarray(ctx.rate_idx)]
+        used = np.unique(np.concatenate(used_lists))
         remap = np.full(len(dq.gen_dists), -1, np.int32)
         remap[used] = np.arange(len(used), dtype=np.int32)
         Tf, Tb = build_dense_operators(dq.D[used], dq.B[used], dq.U[used],
@@ -204,6 +235,13 @@ class PallasDecoder:
         self.Mb = jnp.asarray(Mb)
         self._identity_op = int(remap[int(dq.gen_dist_index(np.float32(0.0)))])
         self.gap_op = remap[np.asarray(ctx.gap_idx)]   # [L-1]
+        if self.sequence:
+            self.seq_op = remap[np.asarray(ctx.seq_gap_idx)]       # [L-1]
+            self.seq_op_bwd = remap[np.asarray(ctx.seq_gap_idx_bwd)]
+            self.rate_op = remap[np.asarray(ctx.rate_idx)]         # [L]
+            hz = np.ones((self.L - 1, 1, KC), np.float32)
+            hz[:, 0, :K] = dq.homozygous_emissions[ctx.homoz_idx]
+            self.homoz = jnp.asarray(hz)               # [L-1, 1, KC]
 
         # emission component tables [L, 3, KC]
         e = ctx.emissions
@@ -264,6 +302,32 @@ class PallasDecoder:
 
         fwd_mask = ((site_idx % self._scaling_skip) == 0).astype(jnp.int32)
 
+        seq = self.sequence
+        if seq:
+            seq_op = jnp.asarray(self.seq_op)
+            seq_op_b = jnp.asarray(self.seq_op_bwd)
+            rate_op = jnp.asarray(self.rate_op)
+            # forward: seq-gap op at gap t-1, rate op at site t0+t
+            sops_f = jnp.where((steps >= 1) & (steps < real),
+                               seq_op[gap_idx_f], ident).astype(jnp.int32)
+            rops_f = jnp.where((steps >= 1) & (steps < real),
+                               rate_op[jnp.minimum(site_idx, L - 1)],
+                               ident).astype(jnp.int32)
+            # backward (indexed by u = T-1-t): seq-gap bwd op at gap u,
+            # rate op at site t0+u
+            sops_b = jnp.where(steps < real - 1,
+                               seq_op_b[gap_idx_b], ident).astype(jnp.int32)
+            rops_b = jnp.where(steps < real - 1,
+                               rate_op[jnp.minimum(site_idx, L - 1)],
+                               ident).astype(jnp.int32)
+            # homozygous emissions per gap, [T, 1, KC]
+            hz = jnp.take(self.homoz, jnp.clip(t0 + steps - 1, 0, L - 2),
+                          axis=0)
+            hem_f = jnp.where(((steps >= 1) & (steps < real)
+                               )[:, None, None], hz, 1.0)
+            hzb = jnp.take(self.homoz, jnp.clip(t0 + steps, 0, L - 2), axis=0)
+            hem_b = jnp.where((steps < real - 1)[:, None, None], hzb, 1.0)
+
         # --- initial alpha -------------------------------------------------
         e0 = em[0]
         em_first = (e0[0][:, None] + e0[1][:, None] * obs[0, 0][None, :]
@@ -275,25 +339,52 @@ class PallasDecoder:
         KA = _round8(K)
 
         # --- forward -------------------------------------------------------
-        fwd_grid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,   # ops, mask
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, KC, KC),
-                             lambda t, ops, mask: (ops[t], 0, 0)),
-                pl.BlockSpec((1, 3, KC), lambda t, ops, mask: (t, 0, 0)),
-                pl.BlockSpec((1, 2, P), lambda t, ops, mask: (t, 0, 0)),
-                pl.BlockSpec((KC, P), lambda t, ops, mask: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, KA, P),
-                                   lambda t, ops, mask: (t, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
-        )
-        alpha = pl.pallas_call(
-            _make_fwd_kernel(KA), grid_spec=fwd_grid,
-            out_shape=jax.ShapeDtypeStruct((T, KA, P), jnp.float32),
-            interpret=interp,
-        )(ops_f, fwd_mask, self.Mf, em, obs, x0)
+        if seq:
+            fwd_grid = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,   # sops, rops, mask
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec((1, KC, KC),
+                                 lambda t, so, ro, mask: (so[t], 0, 0)),
+                    pl.BlockSpec((1, KC, KC),
+                                 lambda t, so, ro, mask: (ro[t], 0, 0)),
+                    pl.BlockSpec((1, 3, KC),
+                                 lambda t, so, ro, mask: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, KC),
+                                 lambda t, so, ro, mask: (t, 0, 0)),
+                    pl.BlockSpec((1, 2, P),
+                                 lambda t, so, ro, mask: (t, 0, 0)),
+                    pl.BlockSpec((KC, P), lambda t, so, ro, mask: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, KA, P),
+                                       lambda t, so, ro, mask: (t, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
+            )
+            alpha = pl.pallas_call(
+                _make_fwd_kernel(KA, seq=True), grid_spec=fwd_grid,
+                out_shape=jax.ShapeDtypeStruct((T, KA, P), jnp.float32),
+                interpret=interp,
+            )(sops_f, rops_f, fwd_mask, self.Mf, self.Mf, em, hem_f, obs, x0)
+        else:
+            fwd_grid = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,   # ops, mask
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec((1, KC, KC),
+                                 lambda t, ops, mask: (ops[t], 0, 0)),
+                    pl.BlockSpec((1, 3, KC), lambda t, ops, mask: (t, 0, 0)),
+                    pl.BlockSpec((1, 2, P), lambda t, ops, mask: (t, 0, 0)),
+                    pl.BlockSpec((KC, P), lambda t, ops, mask: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, KA, P),
+                                       lambda t, ops, mask: (t, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
+            )
+            alpha = pl.pallas_call(
+                _make_fwd_kernel(KA), grid_spec=fwd_grid,
+                out_shape=jax.ShapeDtypeStruct((T, KA, P), jnp.float32),
+                interpret=interp,
+            )(ops_f, fwd_mask, self.Mf, em, obs, x0)
 
         # --- backward + combine -------------------------------------------
         # grid step t: pos = T-1-t; beta transition uses gap (pos, pos+1)
@@ -302,52 +393,70 @@ class PallasDecoder:
         bwd_mask = (((t0 + T - 1 - steps) % self._scaling_skip) == 0
                     ).astype(jnp.int32)
 
-        kernel = _make_bwd_kernel(outs, K, KA, state_threshold)
+        kernel = _make_bwd_kernel(outs, K, KA, state_threshold, seq=seq)
+
+        def rev_idx(t, *a):
+            return (T - 1 - t, 0, 0)
+
+        def em_obs_idx(t, *a):
+            # pos+1 = T - t for t >= 1; unused (valid) slot T-1 at t=0
+            return (T - jnp.maximum(t, 1), 0, 0)
+
         out_shapes = []
         out_specs = []
         if outs.posterior:
             out_shapes.append(jax.ShapeDtypeStruct((T, KA, P), jnp.float32))
-            out_specs.append(pl.BlockSpec(
-                (1, KA, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+            out_specs.append(pl.BlockSpec((1, KA, P), rev_idx))
         if outs.posterior_sums:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, KA), jnp.float32))
-            out_specs.append(pl.BlockSpec(
-                (1, 1, KA), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+            out_specs.append(pl.BlockSpec((1, 1, KA), rev_idx))
         if outs.per_pair_mean:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
-            out_specs.append(pl.BlockSpec(
-                (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+            out_specs.append(pl.BlockSpec((1, 1, P), rev_idx))
         if outs.per_pair_map:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
-            out_specs.append(pl.BlockSpec(
-                (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+            out_specs.append(pl.BlockSpec((1, 1, P), rev_idx))
         if outs.threshold_sums:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
-            out_specs.append(pl.BlockSpec(
-                (1, 1, P), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+            out_specs.append(pl.BlockSpec((1, 1, P), rev_idx))
         if outs.major_minor_sums:
             out_shapes.append(jax.ShapeDtypeStruct((T, 3, KA), jnp.float32))
-            out_specs.append(pl.BlockSpec(
-                (1, 3, KA), lambda t, ops, mask: (T - 1 - t, 0, 0)))
+            out_specs.append(pl.BlockSpec((1, 3, KA), rev_idx))
 
-        def em_obs_idx(t, ops, mask):
-            # pos+1 = T - t for t >= 1; unused (valid) slot T-1 at t=0
-            return (T - jnp.maximum(t, 1), 0, 0)
-
-        bwd_grid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(T,),
-            in_specs=[
+        if seq:
+            in_specs = [
+                pl.BlockSpec((1, KC, KC),
+                             lambda t, so, ro, mask: (so[T - 1 - t], 0, 0)),
+                pl.BlockSpec((1, KC, KC),
+                             lambda t, so, ro, mask: (ro[T - 1 - t], 0, 0)),
+                pl.BlockSpec((1, 3, KC), em_obs_idx),
+                pl.BlockSpec((1, 1, KC), rev_idx),     # homoz at gap pos
+                pl.BlockSpec((1, 2, P), em_obs_idx),
+                pl.BlockSpec((1, 2, P), rev_idx),      # obs at pos (mm sums)
+                pl.BlockSpec((1, KA, P), rev_idx),
+                pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
+            ]
+            args = (sops_b, rops_b, bwd_mask, self.Mb, self.Mb, em, hem_b,
+                    obs, obs, alpha, self.exp_times)
+            n_prefetch = 3
+        else:
+            in_specs = [
                 pl.BlockSpec((1, KC, KC),
                              lambda t, ops, mask: (ops[T - 1 - t], 0, 0)),
                 pl.BlockSpec((1, 3, KC), em_obs_idx),
                 pl.BlockSpec((1, 2, P), em_obs_idx),
-                pl.BlockSpec((1, 2, P),
-                             lambda t, ops, mask: (T - 1 - t, 0, 0)),
-                pl.BlockSpec((1, KA, P),
-                             lambda t, ops, mask: (T - 1 - t, 0, 0)),
-                pl.BlockSpec((1, KC), lambda t, ops, mask: (0, 0)),
-            ],
+                pl.BlockSpec((1, 2, P), rev_idx),      # obs at pos (mm sums)
+                pl.BlockSpec((1, KA, P), rev_idx),
+                pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
+            ]
+            args = (ops_b, bwd_mask, self.Mb, em, obs, obs, alpha,
+                    self.exp_times)
+            n_prefetch = 2
+
+        bwd_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(T,),
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
         )
@@ -355,7 +464,7 @@ class PallasDecoder:
             kernel, grid_spec=bwd_grid,
             out_shape=tuple(out_shapes),
             interpret=interp,
-        )(ops_b, bwd_mask, self.Mb, em, obs, obs, alpha, self.exp_times)
+        )(*args)
         if not isinstance(results, (tuple, list)):
             results = (results,)
 

@@ -90,8 +90,7 @@ class ASMC:
         self.batch_size = batch_size or max(params.batch_size, 64)
         if use_pallas is None:
             import jax
-            use_pallas = (jax.default_backend() not in ("cpu",)
-                          and not params.decoding_sequence)
+            use_pallas = jax.default_backend() not in ("cpu",)
         self._use_pallas = use_pallas
         if use_pallas:
             from ..engine.kernels import PallasDecoder, BwdOutputs

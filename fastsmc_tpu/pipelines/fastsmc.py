@@ -76,8 +76,7 @@ class FastSMC:
         self.ctx = DecodeContext.build(params, self.data, self.dq)
         if use_pallas is None:
             import jax
-            use_pallas = (jax.default_backend() not in ("cpu",)
-                          and not params.decoding_sequence)
+            use_pallas = jax.default_backend() not in ("cpu",)
         if use_pallas:
             from ..engine.kernels import PallasDecoder, BwdOutputs
             self.decoder = PallasDecoder(self.ctx)

@@ -65,3 +65,32 @@ def test_sequence_mode_oracle_vs_batched(repo_root):
     for i in range(3):
         ref = decode_pair(ctx, int(pa[i]), int(pb[i]), t0, t0 + 128)
         np.testing.assert_allclose(post[:, :, i].T, ref, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sequence_mode_pallas_interpret(repo_root):
+    """Sequence mode through the Pallas kernels (interpret on CPU)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.engine.kernels import PallasDecoder, BwdOutputs
+    from fastsmc_tpu.engine.oracle import DecodeContext, decode_pair
+    from fastsmc_tpu.io.decoding_quantities import DecodingQuantities
+    from fastsmc_tpu.io.haps import load_data
+
+    params = DecodingParams.asmc(
+        "/root/reference/FILES/EXAMPLE/exampleFile.n300",
+        str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz"),
+        out_file_root="/tmp/seqtest2",
+        decoding_mode="sequence", do_posterior_sums=True,
+        use_known_seed=True)
+    data = load_data(params)
+    dq = DecodingQuantities.load_npz(params.decoding_quant_file)
+    ctx = DecodeContext.build(params, data, dq)
+    dec = PallasDecoder(ctx, interpret=True)
+    pa = np.array([1, 5, 9, 13] * 32, np.int32)
+    pb = np.array([2, 6, 10, 14] * 32, np.int32)
+    t0 = 1000
+    r = dec.decode_pairs(pa, pb, t0, 64, BwdOutputs(posterior=True), 0)
+    post = np.asarray(r["posterior"])
+    for i in range(2):
+        ref = decode_pair(ctx, int(pa[i]), int(pb[i]), t0, t0 + 64)
+        np.testing.assert_allclose(post[:, :, i].T, ref, atol=2e-4)
