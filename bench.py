@@ -41,7 +41,7 @@ def main():
     ctx = DecodeContext.build(params, data, dq)
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    P = int(os.environ.get("FASTSMC_BENCH_P", "2048" if on_tpu else "64"))
+    P = int(os.environ.get("FASTSMC_BENCH_P", "4096" if on_tpu else "64"))
     T = bucket_len(data.sites)
 
     if on_tpu:
