@@ -27,17 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax>=0.4.35 moved shard_map out of experimental
-    from jax.sharding import shard_map as _shard_map_mod  # type: ignore
-    shard_map = None
-except Exception:
-    shard_map = None
-if shard_map is None:
-    try:
-        from jax.experimental.shard_map import shard_map  # type: ignore
-    except Exception:
-        from jax.experimental import shard_map as _sm     # type: ignore
-        shard_map = _sm.shard_map
+try:  # jax>=0.6 exposes shard_map at top level
+    shard_map = jax.shard_map  # type: ignore[attr-defined]
+except AttributeError:
+    from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..engine.hmm import BatchedDecoder, bucket_len
 from ..engine.oracle import DecodeContext

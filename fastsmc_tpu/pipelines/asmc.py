@@ -143,7 +143,20 @@ class ASMC:
         return list(zip(h1.tolist(), h2.tolist()))
 
     # ------------------------------------------------------------------
-    def decode_all_in_job(self, verbose: bool = True) -> DecodingReturnValues:
+    def decode_all_in_job(self, verbose: bool = True,
+                          chunk_sites: Optional[int] = None,
+                          halo_cm: float = 2.0) -> DecodingReturnValues:
+        """All-pairs posterior sums for this job.
+
+        ``chunk_sites`` enables genome-chunked decoding for biobank-length
+        chromosomes (SURVEY.md §5.7): each chunk decodes with a ``halo_cm``
+        centimorgan halo on both sides and only interior positions
+        contribute, bounding device memory at O(chunk x states x batch)
+        instead of O(sites x ...). The reference keeps whole chromosomes in
+        RAM and tells users to split files manually.
+        """
+        if chunk_sites is not None:
+            return self._decode_all_chunked(chunk_sites, halo_cm, verbose)
         p = self.params
         L, K = self.data.sites, self.dq.states
         t_len = bucket_len(L)
@@ -212,12 +225,55 @@ class ASMC:
             out.sum_over_pairs11 = mm[2].astype(np.float32)
         return out
 
-    def _full_posterior(self, h1, h2, t_len) -> np.ndarray:
+    def _decode_all_chunked(self, chunk_sites: int, halo_cm: float,
+                            verbose: bool) -> DecodingReturnValues:
+        from .fastsmc import get_from_position, get_to_position
+        p = self.params
+        L, K = self.data.sites, self.dq.states
+        g = self.data.genetic_positions
+        bs = self.batch_size
+        start, end = self._job_pair_range()
+        n_pairs = end - start
+        sums = np.zeros((L, K), np.float64)
+        t0 = time.time()
+
+        chunks = []
+        for c0 in range(0, L, chunk_sites):
+            c1 = min(c0 + chunk_sites, L)
+            w0 = get_from_position(g, c0, halo_cm)
+            w1 = get_to_position(g, c1 - 1, halo_cm)
+            chunks.append((c0, c1, w0, w1))
+
+        for ofs in range(0, n_pairs, bs):
+            n = min(bs, n_pairs - ofs)
+            h1_64, h2_64 = self.pairs_from_flat_indices(
+                np.arange(start + ofs, start + ofs + n), p.within_only)
+            h1 = h1_64.astype(np.int32)
+            h2 = h2_64.astype(np.int32)
+            if n < bs:
+                h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])
+                h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
+            for (c0, c1, w0, w1) in chunks:
+                t_len = bucket_len(w1 - w0)
+                post = self._full_posterior(h1, h2, t_len, t0_pos=w0)
+                sums[c0:c1] += post[c0 - w0:c1 - w0, :, :n].sum(axis=2)
+            if verbose:
+                done = min(ofs + bs, n_pairs)
+                print(f"\rDecoding progress: {100 * done // n_pairs}%",
+                      end="", flush=True)
+        if verbose:
+            print(f"\nDecoded {n_pairs} pairs (chunked x{len(chunks)}) in "
+                  f"{time.time() - t0:.3f} seconds.")
+        return DecodingReturnValues(
+            sum_over_pairs=sums.astype(np.float32), sites=L, states=K,
+            site_was_flipped=self.data.site_was_flipped)
+
+    def _full_posterior(self, h1, h2, t_len, t0_pos: int = 0) -> np.ndarray:
         if self._use_pallas:
             outs = self._outs_cls(posterior=True)
-            r = self.decoder.decode_pairs(h1, h2, 0, t_len, outs, 0)
+            r = self.decoder.decode_pairs(h1, h2, t0_pos, t_len, outs, 0)
             return np.asarray(r["posterior"])
-        return np.asarray(self.decoder.decode_pairs(h1, h2, 0, t_len))
+        return np.asarray(self.decoder.decode_pairs(h1, h2, t0_pos, t_len))
 
     # ------------------------------------------------------------------
     def write_outputs(self, result: DecodingReturnValues) -> None:
