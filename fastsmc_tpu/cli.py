@@ -46,6 +46,10 @@ def _add_fastsmc_parser(sub):
     p.add_argument("--gap", type=int, default=1)
     p.add_argument("--max_seeds", type=int, default=0)
     p.add_argument("--useKnownSeed", action="store_true")
+    p.add_argument("--hashingBackend", default="host",
+                   choices=["host", "device"],
+                   help="identification scan: streaming host scan (native "
+                        "C++/Python) or the sort-based device (XLA) scan")
     return p
 
 
@@ -68,7 +72,7 @@ def _run_fastsmc(args):
         hashing=args.hashing, min_m=args.min_m, skip=args.skip,
         min_maf=args.min_maf, gap=args.gap, max_seeds=args.max_seeds,
         use_known_seed=args.useKnownSeed)
-    FastSMC(params).run()
+    FastSMC(params, hashing_backend=args.hashingBackend).run()
 
 
 def _add_asmc_parser(sub):

@@ -8,28 +8,41 @@ VMEM, cutting the per-step cost to the DMA/matmul floor.
 Design (per SURVEY.md §7 and the dense-operator reformulation in
 engine/dense.py):
 
-  * grid = (T,) over genome positions; carry [Kc, P] lives in a VMEM scratch
-    that persists across sequential grid steps;
+  * grid = (T // S,) over genome positions, S sites unrolled per grid step —
+    the Pallas grid costs ~4us/step on this chip, so unrolling S=4..8 sites
+    into one step amortizes it to <1us/site; the carry [Kc, P] lives in a
+    VMEM scratch that persists across sequential grid steps;
   * per-step dense transition operators (128x128 padded, float32) are
-    gathered from HBM by ``PrefetchScalarGridSpec`` index maps — the Pallas
-    pipeline double-buffers the DMA behind the matmul automatically;
+    gathered from HBM by ``PrefetchScalarGridSpec`` index maps (one BlockSpec
+    per unrolled sub-step) — the Pallas pipeline double-buffers the DMA
+    behind the matmul automatically;
   * emissions are reconstructed in-kernel from the 3 per-site component rows
     and the per-pair observation bits:
         em = em1 + em0minus1 * obsIsZero + em2minus0 * obsIsHomMinor
     (mirrors HMM.cpp:827-828);
+  * the backward kernel needs emissions/observations at ``pos+1``, which
+    crosses the S-block boundary; instead of materializing shifted copies in
+    HBM, the same array is passed twice with the second BlockSpec pointing at
+    the adjacent block (row 0 of block+1 supplies the boundary element);
   * the backward kernel fuses beta recursion, posterior combine, and the
     reduction outputs (posterior sums over pairs, per-pair posterior means,
     MAP states, IBD threshold sums), so the full [T, K, P] posterior never
-    has to be materialised unless explicitly requested.
+    has to be materialised unless explicitly requested;
+  * ``alpha_dtype=bfloat16`` stores the forward messages in bf16, halving
+    the dominant HBM stream (the posterior is renormalized per site, so the
+    ~3 decimal digits of bf16 introduce only ~1e-3 relative posterior error
+    while doubling the max pair batch per chip).
 
 K (number of TMRCA states) must be <= 128; compute is padded to Kc = 128
-lanes. All math float32 (reference NO_SSE semantics).
+lanes. All math float32 (reference NO_SSE semantics) at matmul precision
+HIGHEST by default; ``precision="fast"`` trades ~1e-3 posterior error for
+~2x matmul throughput (bf16x3 instead of bf16x6 MXU passes).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +55,26 @@ from .oracle import DecodeContext
 
 KC = 128  # padded state (compute) dimension
 
+_PRECISIONS = {
+    # reference NO_SSE semantics: f32-faithful matmul (bf16x6 MXU passes)
+    "highest": jax.lax.Precision.HIGHEST,
+    # bf16x3: ~2x matmul throughput, ~1e-3 posterior error
+    # (Mosaic does not lower Precision.HIGH; DEFAULT is bf16x3 on TPU)
+    "fast": jax.lax.Precision.DEFAULT,
+}
+
+# VMEM working-set budget for picking the unroll factor, and the Mosaic
+# scoped-vmem limit we request (v5e default scoped limit is 16 MB; the
+# physical VMEM is larger, so we raise it and keep our own budget under it)
+_VMEM_BUDGET = 24 * 1024 * 1024
+_VMEM_LIMIT = 34 * 1024 * 1024
+
+
+def _compiler_params(interpret: bool):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _round8(n: int) -> int:
     return (n + 7) // 8 * 8
@@ -51,43 +84,59 @@ def _round8(n: int) -> int:
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(ka: int, seq: bool = False):
+def _make_fwd_kernel(S: int, ka: int, seq: bool, alpha_dtype, precision):
     def kernel(*refs):
         if seq:
-            (ops_ref, rops_ref, mask_ref, m1_ref, m2_ref, em_ref, hem_ref,
-             obs_ref, x0_ref, alpha_ref, carry) = refs
+            sops_ref, rops_ref, mask_ref = refs[:3]
+            rest = list(refs[3:])
+            m1 = rest[:S]
+            m2 = rest[S:2 * S]
+            (em_ref, hem_ref, obs_ref, isp_ref, alpha_ref, carry) = rest[2 * S:]
         else:
-            (ops_ref, mask_ref, m1_ref, em_ref, obs_ref, x0_ref,
-             alpha_ref, carry) = refs
+            ops_ref, mask_ref = refs[:2]
+            rest = list(refs[2:])
+            m1 = rest[:S]
+            (em_ref, obs_ref, isp_ref, alpha_ref, carry) = rest[S:]
         t = pl.program_id(0)
 
-        @pl.when(t == 0)
-        def _():
-            carry[:] = x0_ref[:]
+        def emission(i):
+            e = em_ref[i]                     # [3, KC]
+            o = obs_ref[i]                    # [2, P]
+            return (e[0][:, None] + e[1][:, None] * o[0][None, :]
+                    + e[2][:, None] * o[1][None, :])
 
-        @pl.when(t > 0)
-        def _():
-            e = em_ref[0]                     # [3, KC]
-            o = obs_ref[0]                    # [2, P]
-            em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
-                  + e[2][:, None] * o[1][None, :])
-            c = jnp.dot(m1_ref[0], carry[:],
+        def step(i):
+            em = emission(i)
+            c = jnp.dot(m1[i][0], carry[:],
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=precision)
             if seq:
                 # sequence mode: homozygous-emission half-step between
                 # markers, then the marker step (HMM.cpp:760-770)
-                mid = c * hem_ref[0, 0][:, None]
-                c = jnp.dot(m2_ref[0], mid,
+                mid = c * hem_ref[i, 0][:, None]
+                c = jnp.dot(m2[i][0], mid,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
             c = c * em
             s = jnp.sum(c, axis=0, keepdims=True)
-            inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
+            inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
             carry[:] = c * inv
 
-        # store only the KA real (rounded-to-8) state rows to HBM
-        alpha_ref[0] = carry[:ka]
+        for i in range(S):
+            if i == 0:
+                @pl.when(t == 0)
+                def _():
+                    # initial alpha = initialStateProb * em, normalized
+                    c = isp_ref[0][:, None] * emission(0)
+                    carry[:] = c / jnp.sum(c, axis=0, keepdims=True)
+
+                @pl.when(t > 0)
+                def _():
+                    step(0)
+            else:
+                step(i)
+            # store only the KA real (rounded-to-8) state rows to HBM
+            alpha_ref[i] = carry[:ka].astype(alpha_dtype)
     return kernel
 
 
@@ -108,16 +157,22 @@ _OUT_NAMES = ("posterior", "posterior_sums", "per_pair_mean",
               "per_pair_map", "threshold_sums", "major_minor_sums")
 
 
-def _make_bwd_kernel(outs: BwdOutputs, K: int, ka: int, state_threshold: int,
-                     seq: bool = False):
+def _make_bwd_kernel(outs: BwdOutputs, S: int, K: int, ka: int,
+                     state_threshold: int, seq: bool, precision):
     def kernel(*all_refs):
         if seq:
-            (ops_ref, rops_ref, mask_ref, m1_ref, m2_ref, em_ref, hem_ref,
-             obs_ref, obs_cur_ref, alpha_ref, exp_ref,
-             *out_and_scratch) = all_refs
+            sops_ref, rops_ref, mask_ref = all_refs[:3]
+            rest = list(all_refs[3:])
+            m1 = rest[:S]
+            m2 = rest[S:2 * S]
+            (em_lo_ref, em_hi_ref, hem_ref, obs_lo_ref, obs_hi_ref,
+             alpha_ref, exp_ref, *out_and_scratch) = rest[2 * S:]
         else:
-            (ops_ref, mask_ref, m1_ref, em_ref, obs_ref, obs_cur_ref,
-             alpha_ref, exp_ref, *out_and_scratch) = all_refs
+            ops_ref, mask_ref = all_refs[:2]
+            rest = list(all_refs[2:])
+            m1 = rest[:S]
+            (em_lo_ref, em_hi_ref, obs_lo_ref, obs_hi_ref,
+             alpha_ref, exp_ref, *out_and_scratch) = rest[S:]
         refs = list(out_and_scratch)
         out_refs = {}
         for name in _OUT_NAMES:
@@ -127,65 +182,81 @@ def _make_bwd_kernel(outs: BwdOutputs, K: int, ka: int, state_threshold: int,
 
         t = pl.program_id(0)
 
-        @pl.when(t == 0)
-        def _():
-            # lastBeta = 1/K on real states (HMM.cpp:886-897)
-            k_idx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
-            init = jnp.where(k_idx < K, 1.0 / K, 0.0).astype(jnp.float32)
-            carry[:] = jnp.broadcast_to(init, carry.shape)
+        def nxt(lo, hi, r):
+            # row at pos+1: row r+1 of this (reversed) block, or row 0 of the
+            # adjacent block when pos+1 crosses the boundary
+            return lo[r + 1] if r + 1 < S else hi[0]
 
-        @pl.when(t > 0)
-        def _():
-            e = em_ref[0]                 # [3, KC] at pos+1
-            o = obs_ref[0]                # [2, P] at pos+1
+        def step(i):
+            r = S - 1 - i
+            e = nxt(em_lo_ref, em_hi_ref, r)    # [3, KC] at pos+1
+            o = nxt(obs_lo_ref, obs_hi_ref, r)  # [2, P] at pos+1
             em = (e[0][:, None] + e[1][:, None] * o[0][None, :]
                   + e[2][:, None] * o[1][None, :])
             if seq:
                 # HMM.cpp:915-925: homozygous half-step, then marker step
-                mid = jnp.dot(m1_ref[0], carry[:] * hem_ref[0, 0][:, None],
+                mid = jnp.dot(m1[i][0], carry[:] * hem_ref[r, 0][:, None],
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                c = jnp.dot(m2_ref[0], mid * em,
+                              precision=precision)
+                c = jnp.dot(m2[i][0], mid * em,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
             else:
                 vec = carry[:] * em
-                c = jnp.dot(m1_ref[0], vec,
+                c = jnp.dot(m1[i][0], vec,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
             s = jnp.sum(c, axis=0, keepdims=True)
-            inv = jnp.where(mask_ref[t] != 0, 1.0 / s, 1.0)
+            inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
             carry[:] = c * inv
 
-        post = alpha_ref[0] * carry[:ka]          # [KA, P]
-        post = post / jnp.sum(post, axis=0, keepdims=True)
+        for i in range(S):
+            r = S - 1 - i
+            if i == 0:
+                @pl.when(t == 0)
+                def _():
+                    # lastBeta = 1/K on real states (HMM.cpp:886-897)
+                    k_idx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+                    init = jnp.where(k_idx < K, 1.0 / K, 0.0
+                                     ).astype(jnp.float32)
+                    carry[:] = jnp.broadcast_to(init, carry.shape)
 
-        if outs.posterior:
-            out_refs["posterior"][0] = post
-        if outs.posterior_sums:
-            out_refs["posterior_sums"][0, 0] = jnp.sum(post, axis=1)
-        if outs.per_pair_mean:
-            out_refs["per_pair_mean"][0, 0] = jnp.sum(
-                post * exp_ref[0][:ka][:, None], axis=0)
-        if outs.per_pair_map:
-            out_refs["per_pair_map"][0, 0] = jnp.argmax(
-                post, axis=0).astype(jnp.float32)
-        if outs.threshold_sums:
-            k_idx = jax.lax.broadcasted_iota(jnp.int32, post.shape, 0)
-            masked = jnp.where(k_idx < state_threshold, post, 0.0)
-            out_refs["threshold_sums"][0, 0] = jnp.sum(masked, axis=0)
-        if outs.major_minor_sums:
-            # classification per pair at this site (augmentSumOverPairs,
-            # HMM.cpp:1063-1069): homMinor -> 11; obsBits == 0 -> 00; else 01
-            oz = obs_cur_ref[0, 0][None, :]
-            oh = obs_cur_ref[0, 1][None, :]
-            w11 = oh
-            w00 = oz * (1.0 - oh)
-            w01 = 1.0 - oz
-            r = out_refs["major_minor_sums"]
-            r[0, 0] = jnp.sum(post * w00, axis=1)
-            r[0, 1] = jnp.sum(post * w01, axis=1)
-            r[0, 2] = jnp.sum(post * w11, axis=1)
+                @pl.when(t > 0)
+                def _():
+                    step(0)
+            else:
+                step(i)
+
+            post = alpha_ref[r].astype(jnp.float32) * carry[:ka]  # [KA, P]
+            post = post / jnp.sum(post, axis=0, keepdims=True)
+
+            if outs.posterior:
+                out_refs["posterior"][r] = post
+            if outs.posterior_sums:
+                out_refs["posterior_sums"][r, 0] = jnp.sum(post, axis=1)
+            if outs.per_pair_mean:
+                out_refs["per_pair_mean"][r, 0] = jnp.sum(
+                    post * exp_ref[0][:ka][:, None], axis=0)
+            if outs.per_pair_map:
+                out_refs["per_pair_map"][r, 0] = jnp.argmax(
+                    post, axis=0).astype(jnp.float32)
+            if outs.threshold_sums:
+                k_idx = jax.lax.broadcasted_iota(jnp.int32, post.shape, 0)
+                masked = jnp.where(k_idx < state_threshold, post, 0.0)
+                out_refs["threshold_sums"][r, 0] = jnp.sum(masked, axis=0)
+            if outs.major_minor_sums:
+                # classification per pair at this site (augmentSumOverPairs,
+                # HMM.cpp:1063-1069): homMinor -> 11; obsBits == 0 -> 00;
+                # else 01
+                oz = obs_lo_ref[r, 0][None, :]
+                oh = obs_lo_ref[r, 1][None, :]
+                w11 = oh
+                w00 = oz * (1.0 - oh)
+                w01 = 1.0 - oz
+                rr = out_refs["major_minor_sums"]
+                rr[r, 0] = jnp.sum(post * w00, axis=1)
+                rr[r, 1] = jnp.sum(post * w01, axis=1)
+                rr[r, 2] = jnp.sum(post * w11, axis=1)
 
     return kernel
 
@@ -200,9 +271,21 @@ class PallasDecoder:
     The TPU production engine; interface-compatible with
     :class:`fastsmc_tpu.engine.hmm.BatchedDecoder` but with fused reduction
     outputs and a far lower per-step cost.
+
+    Options:
+      steps_per_block: genome sites unrolled per Pallas grid step (None =
+        auto from the VMEM budget; reduced to a divisor of the window).
+      precision: "highest" (default; reference NO_SSE semantics, ~5e-7
+        posterior error), "fast" (bf16x3, ~1e-3 error, ~2x matmul
+        throughput).
+      alpha_dtype: jnp.float32 (default) or jnp.bfloat16 for the stored
+        forward messages (~1e-3 posterior error, half the HBM traffic).
     """
 
-    def __init__(self, ctx: DecodeContext, interpret: bool = False):
+    def __init__(self, ctx: DecodeContext, interpret: bool = False,
+                 steps_per_block: Optional[int] = None,
+                 precision: str = "highest",
+                 alpha_dtype=jnp.float32):
         self.ctx = ctx
         dq = ctx.dq
         K = dq.states
@@ -213,6 +296,9 @@ class PallasDecoder:
         self.L = ctx.data.sites
         self.interpret = interpret
         self.sequence = ctx.params.decoding_sequence
+        self.steps_per_block = steps_per_block
+        self.precision = _PRECISIONS[precision]
+        self.alpha_dtype = jnp.dtype(alpha_dtype)
 
         # dense operators, padded to [G, KC, KC]
         used_lists = [np.asarray(ctx.gap_idx),
@@ -261,6 +347,41 @@ class PallasDecoder:
         self._scaling_skip = ctx.scaling_skip
 
     # ------------------------------------------------------------------
+    def _pick_steps(self, T: int, P: int, outs: BwdOutputs) -> int:
+        """Largest unroll factor that divides T and fits the VMEM budget."""
+        ka = _round8(self.K)
+        n_mats = 2 if self.sequence else 1
+        abytes = self.alpha_dtype.itemsize
+        for s in (8, 4, 2, 1):
+            if self.steps_per_block is not None:
+                if s > self.steps_per_block:
+                    continue
+            if T % s != 0:
+                continue
+            # the forward pass streams operators + em + obs in and alpha
+            # out; the backward pass additionally streams em/obs twice
+            # (block + adjacent block) and the requested reduction outputs.
+            # every block is double-buffered by the Pallas pipeline; the
+            # carry scratch is resident.
+            ops_b = n_mats * s * KC * KC * 4
+            em_b = s * 3 * KC * 4
+            obs_b = s * 2 * P * 4
+            alpha_b = s * ka * P * abytes
+            fwd = 2 * (ops_b + em_b + obs_b + alpha_b)
+            out_b = 0
+            if outs.posterior:
+                out_b += s * ka * P * 4
+            for flag in (outs.per_pair_mean, outs.per_pair_map,
+                         outs.threshold_sums):
+                if flag:
+                    out_b += s * P * 4
+            bwd = 2 * (ops_b + 2 * em_b + 2 * obs_b + alpha_b + out_b)
+            resident = KC * P * 4
+            if max(fwd, bwd) + resident <= _VMEM_BUDGET:
+                return s
+        return 1
+
+    # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
     def _decode_jit(self, hap_a, hap_b, t0, t_len: int,
                     outs: BwdOutputs, state_threshold: int):
@@ -270,6 +391,8 @@ class PallasDecoder:
         T = t_len
         t0 = jnp.asarray(t0, jnp.int32)
         real = jnp.minimum(T, L - t0)           # traced
+        S = self._pick_steps(T, P, outs)
+        nblk = T // S
 
         site_idx = t0 + jnp.arange(T, dtype=jnp.int32)
         valid = site_idx < L
@@ -328,134 +451,144 @@ class PallasDecoder:
             hzb = jnp.take(self.homoz, jnp.clip(t0 + steps, 0, L - 2), axis=0)
             hem_b = jnp.where((steps < real - 1)[:, None, None], hzb, 1.0)
 
-        # --- initial alpha -------------------------------------------------
-        e0 = em[0]
-        em_first = (e0[0][:, None] + e0[1][:, None] * obs[0, 0][None, :]
-                    + e0[2][:, None] * obs[0, 1][None, :])
-        x0 = self.isp[:, None] * em_first
-        x0 = x0 / jnp.sum(x0, axis=0, keepdims=True)
-
         interp = self.interpret
         KA = _round8(K)
+        prec = self.precision
+        adt = self.alpha_dtype
 
         # --- forward -------------------------------------------------------
+        def blk(t, *a):
+            return (t, 0, 0)
+
         if seq:
+            op_specs = [pl.BlockSpec(
+                (1, KC, KC), lambda t, so, ro, mask, i=i: (so[S * t + i],
+                                                           0, 0))
+                for i in range(S)]
+            rop_specs = [pl.BlockSpec(
+                (1, KC, KC), lambda t, so, ro, mask, i=i: (ro[S * t + i],
+                                                           0, 0))
+                for i in range(S)]
             fwd_grid = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,   # sops, rops, mask
-                grid=(T,),
-                in_specs=[
-                    pl.BlockSpec((1, KC, KC),
-                                 lambda t, so, ro, mask: (so[t], 0, 0)),
-                    pl.BlockSpec((1, KC, KC),
-                                 lambda t, so, ro, mask: (ro[t], 0, 0)),
-                    pl.BlockSpec((1, 3, KC),
-                                 lambda t, so, ro, mask: (t, 0, 0)),
-                    pl.BlockSpec((1, 1, KC),
-                                 lambda t, so, ro, mask: (t, 0, 0)),
-                    pl.BlockSpec((1, 2, P),
-                                 lambda t, so, ro, mask: (t, 0, 0)),
-                    pl.BlockSpec((KC, P), lambda t, so, ro, mask: (0, 0)),
+                grid=(nblk,),
+                in_specs=op_specs + rop_specs + [
+                    pl.BlockSpec((S, 3, KC), blk),
+                    pl.BlockSpec((S, 1, KC), blk),
+                    pl.BlockSpec((S, 2, P), blk),
+                    pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, KA, P),
-                                       lambda t, so, ro, mask: (t, 0, 0)),
+                out_specs=pl.BlockSpec((S, KA, P), blk),
                 scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
             )
             alpha = pl.pallas_call(
-                _make_fwd_kernel(KA, seq=True), grid_spec=fwd_grid,
-                out_shape=jax.ShapeDtypeStruct((T, KA, P), jnp.float32),
+                _make_fwd_kernel(S, KA, True, adt, prec), grid_spec=fwd_grid,
+                out_shape=jax.ShapeDtypeStruct((T, KA, P), adt),
+                compiler_params=_compiler_params(interp),
                 interpret=interp,
-            )(sops_f, rops_f, fwd_mask, self.Mf, self.Mf, em, hem_f, obs, x0)
+            )(sops_f, rops_f, fwd_mask,
+              *([self.Mf] * (2 * S)), em, hem_f, obs, self.isp[None])
         else:
+            op_specs = [pl.BlockSpec(
+                (1, KC, KC), lambda t, ops, mask, i=i: (ops[S * t + i], 0, 0))
+                for i in range(S)]
             fwd_grid = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,   # ops, mask
-                grid=(T,),
-                in_specs=[
-                    pl.BlockSpec((1, KC, KC),
-                                 lambda t, ops, mask: (ops[t], 0, 0)),
-                    pl.BlockSpec((1, 3, KC), lambda t, ops, mask: (t, 0, 0)),
-                    pl.BlockSpec((1, 2, P), lambda t, ops, mask: (t, 0, 0)),
-                    pl.BlockSpec((KC, P), lambda t, ops, mask: (0, 0)),
+                grid=(nblk,),
+                in_specs=op_specs + [
+                    pl.BlockSpec((S, 3, KC), blk),
+                    pl.BlockSpec((S, 2, P), blk),
+                    pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, KA, P),
-                                       lambda t, ops, mask: (t, 0, 0)),
+                out_specs=pl.BlockSpec((S, KA, P), blk),
                 scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
             )
             alpha = pl.pallas_call(
-                _make_fwd_kernel(KA), grid_spec=fwd_grid,
-                out_shape=jax.ShapeDtypeStruct((T, KA, P), jnp.float32),
+                _make_fwd_kernel(S, KA, False, adt, prec), grid_spec=fwd_grid,
+                out_shape=jax.ShapeDtypeStruct((T, KA, P), adt),
+                compiler_params=_compiler_params(interp),
                 interpret=interp,
-            )(ops_f, fwd_mask, self.Mf, em, obs, x0)
+            )(ops_f, fwd_mask, *([self.Mf] * S), em, obs, self.isp[None])
 
         # --- backward + combine -------------------------------------------
-        # grid step t: pos = T-1-t; beta transition uses gap (pos, pos+1)
-        # = ops_b[pos] and emission/obs at pos+1; t=0 only combines at T-1.
-        # reference scales when pos % skip == 0 (HMM.cpp:931)
+        # grid step t, sub-step i: global g = S*t+i, pos = T-1-g; beta
+        # transition uses gap (pos, pos+1) = ops_b[pos] and emission/obs at
+        # pos+1; g=0 only combines at T-1. reference scales when
+        # pos % skip == 0 (HMM.cpp:931)
         bwd_mask = (((t0 + T - 1 - steps) % self._scaling_skip) == 0
                     ).astype(jnp.int32)
 
-        kernel = _make_bwd_kernel(outs, K, KA, state_threshold, seq=seq)
+        kernel = _make_bwd_kernel(outs, S, K, KA, state_threshold, seq, prec)
 
-        def rev_idx(t, *a):
-            return (T - 1 - t, 0, 0)
+        def rev(t, *a):
+            return (nblk - 1 - t, 0, 0)
 
-        def em_obs_idx(t, *a):
-            # pos+1 = T - t for t >= 1; unused (valid) slot T-1 at t=0
-            return (T - jnp.maximum(t, 1), 0, 0)
+        def rev_hi(t, *a):
+            # adjacent block holding row pos+1 for the block boundary
+            return (jnp.minimum(nblk - t, nblk - 1), 0, 0)
 
         out_shapes = []
         out_specs = []
         if outs.posterior:
             out_shapes.append(jax.ShapeDtypeStruct((T, KA, P), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, KA, P), rev_idx))
+            out_specs.append(pl.BlockSpec((S, KA, P), rev))
         if outs.posterior_sums:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, KA), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, 1, KA), rev_idx))
+            out_specs.append(pl.BlockSpec((S, 1, KA), rev))
         if outs.per_pair_mean:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, 1, P), rev_idx))
+            out_specs.append(pl.BlockSpec((S, 1, P), rev))
         if outs.per_pair_map:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, 1, P), rev_idx))
+            out_specs.append(pl.BlockSpec((S, 1, P), rev))
         if outs.threshold_sums:
             out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, 1, P), rev_idx))
+            out_specs.append(pl.BlockSpec((S, 1, P), rev))
         if outs.major_minor_sums:
             out_shapes.append(jax.ShapeDtypeStruct((T, 3, KA), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, 3, KA), rev_idx))
+            out_specs.append(pl.BlockSpec((S, 3, KA), rev))
 
         if seq:
-            in_specs = [
-                pl.BlockSpec((1, KC, KC),
-                             lambda t, so, ro, mask: (so[T - 1 - t], 0, 0)),
-                pl.BlockSpec((1, KC, KC),
-                             lambda t, so, ro, mask: (ro[T - 1 - t], 0, 0)),
-                pl.BlockSpec((1, 3, KC), em_obs_idx),
-                pl.BlockSpec((1, 1, KC), rev_idx),     # homoz at gap pos
-                pl.BlockSpec((1, 2, P), em_obs_idx),
-                pl.BlockSpec((1, 2, P), rev_idx),      # obs at pos (mm sums)
-                pl.BlockSpec((1, KA, P), rev_idx),
+            bop_specs = [pl.BlockSpec(
+                (1, KC, KC),
+                lambda t, so, ro, mask, i=i: (so[T - 1 - (S * t + i)], 0, 0))
+                for i in range(S)]
+            brop_specs = [pl.BlockSpec(
+                (1, KC, KC),
+                lambda t, so, ro, mask, i=i: (ro[T - 1 - (S * t + i)], 0, 0))
+                for i in range(S)]
+            in_specs = bop_specs + brop_specs + [
+                pl.BlockSpec((S, 3, KC), rev),       # em (this block)
+                pl.BlockSpec((S, 3, KC), rev_hi),    # em (adjacent block)
+                pl.BlockSpec((S, 1, KC), rev),       # homoz at gap pos
+                pl.BlockSpec((S, 2, P), rev),        # obs (this block)
+                pl.BlockSpec((S, 2, P), rev_hi),     # obs (adjacent block)
+                pl.BlockSpec((S, KA, P), rev),       # alpha
                 pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
             ]
-            args = (sops_b, rops_b, bwd_mask, self.Mb, self.Mb, em, hem_b,
-                    obs, obs, alpha, self.exp_times)
+            args = (sops_b, rops_b, bwd_mask, *([self.Mb] * (2 * S)),
+                    em, em, hem_b, obs, obs, alpha, self.exp_times)
             n_prefetch = 3
         else:
-            in_specs = [
-                pl.BlockSpec((1, KC, KC),
-                             lambda t, ops, mask: (ops[T - 1 - t], 0, 0)),
-                pl.BlockSpec((1, 3, KC), em_obs_idx),
-                pl.BlockSpec((1, 2, P), em_obs_idx),
-                pl.BlockSpec((1, 2, P), rev_idx),      # obs at pos (mm sums)
-                pl.BlockSpec((1, KA, P), rev_idx),
+            bop_specs = [pl.BlockSpec(
+                (1, KC, KC),
+                lambda t, ops, mask, i=i: (ops[T - 1 - (S * t + i)], 0, 0))
+                for i in range(S)]
+            in_specs = bop_specs + [
+                pl.BlockSpec((S, 3, KC), rev),       # em (this block)
+                pl.BlockSpec((S, 3, KC), rev_hi),    # em (adjacent block)
+                pl.BlockSpec((S, 2, P), rev),        # obs (this block)
+                pl.BlockSpec((S, 2, P), rev_hi),     # obs (adjacent block)
+                pl.BlockSpec((S, KA, P), rev),       # alpha
                 pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
             ]
-            args = (ops_b, bwd_mask, self.Mb, em, obs, obs, alpha,
-                    self.exp_times)
+            args = (ops_b, bwd_mask, *([self.Mb] * S),
+                    em, em, obs, obs, alpha, self.exp_times)
             n_prefetch = 2
 
         bwd_grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
-            grid=(T,),
+            grid=(nblk,),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
@@ -463,6 +596,7 @@ class PallasDecoder:
         results = pl.pallas_call(
             kernel, grid_spec=bwd_grid,
             out_shape=tuple(out_shapes),
+            compiler_params=_compiler_params(interp),
             interpret=interp,
         )(*args)
         if not isinstance(results, (tuple, list)):

@@ -67,8 +67,15 @@ class FastSMC:
     def __init__(self, params: DecodingParams,
                  data: Optional[Data] = None,
                  dq: Optional[DecodingQuantities] = None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 hashing_backend: str = "host"):
+        """hashing_backend: "host" (streaming scan; native C++ when built,
+        Python otherwise) or "device" (sort-based XLA scan,
+        hashing/vectorized.py; falls back to host when max_seeds > 0)."""
         params.fastsmc = True
+        if hashing_backend not in ("host", "device"):
+            raise ValueError(f"unknown hashing backend {hashing_backend!r}")
+        self.hashing_backend = hashing_backend
         self.params = params
         self.data = data if data is not None else load_data(params)
         self.dq = dq if dq is not None else DecodingQuantities.load(
@@ -339,7 +346,12 @@ class FastSMC:
         path = self._open_writer(append=append)
         if self.params.hashing:
             with self.timer.phase("identification"):
-                scan = HashingScan(self.params, self.data, self._on_match)
+                if self.hashing_backend == "device":
+                    from ..hashing.vectorized import VectorizedHashingScan
+                    scan = VectorizedHashingScan(self.params, self.data,
+                                                 self._on_match)
+                else:
+                    scan = HashingScan(self.params, self.data, self._on_match)
                 scan.run(verbose=verbose)
             self._flush(len(self._batch))
         else:

@@ -245,3 +245,34 @@ def test_fastsmc_resume(repo_root, tmp_path, monkeypatch):
     got = gzip.open(f2.params.ibd_output_path(), "rb").read()  # decompressed
     assert got == want
     assert not os.path.exists(f2.params.ibd_output_path() + ".progress")
+
+
+@pytest.mark.slow
+def test_fastsmc_device_hashing_backend_matches_host(synthetic_panel,
+                                                     repo_root, tmp_path):
+    """The sort-based device identification scan must yield the same IBD
+    output file as the streaming host scan (same candidate set -> same
+    validated segments; batch composition may differ, so compare the
+    segment row sets)."""
+    import gzip as _gz
+
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, planted, bits = synthetic_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def rows(out, backend):
+        p = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / out), use_known_seed=True, min_m=0.5)
+        path = FastSMC(p, use_pallas=False,
+                       hashing_backend=backend).run(verbose=False)
+        with _gz.open(path, "rt") as fh:
+            # identity + interval columns (scores can differ in the last
+            # ulp between batch windows)
+            return sorted(tuple(l.split("\t")[:7])
+                          for l in fh.read().splitlines())
+
+    host = rows("h", "host")
+    device = rows("d", "device")
+    assert device == host
