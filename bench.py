@@ -41,12 +41,22 @@ def main():
     ctx = DecodeContext.build(params, data, dq)
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    P = int(os.environ.get("FASTSMC_BENCH_P", "4096" if on_tpu else "64"))
+    P = int(os.environ.get("FASTSMC_BENCH_P", "8192" if on_tpu else "64"))
     T = bucket_len(data.sites)
 
     if on_tpu:
+        import jax.numpy as jnp
+
         from fastsmc_tpu.engine.kernels import BwdOutputs, PallasDecoder
-        dec = PallasDecoder(ctx)
+        # production-throughput profile: bf16 forward-message store +
+        # bf16x3 matmuls (~6e-3 posterior error; segment outputs validated
+        # against the exact profile in tests). FASTSMC_BENCH_EXACT=1
+        # benches the bit-faithful f32/HIGHEST profile instead.
+        if os.environ.get("FASTSMC_BENCH_EXACT", "") == "1":
+            dec = PallasDecoder(ctx)
+        else:
+            dec = PallasDecoder(ctx, alpha_dtype=jnp.bfloat16,
+                                precision="fast")
         outs = BwdOutputs(posterior=False, posterior_sums=True)
 
         def run(pa, pb):

@@ -50,6 +50,11 @@ def _add_fastsmc_parser(sub):
                    choices=["host", "device"],
                    help="identification scan: streaming host scan (native "
                         "C++/Python) or the sort-based device (XLA) scan")
+    p.add_argument("--decodeProfile", default="exact",
+                   choices=["exact", "fast"],
+                   help="decode numerics: exact (reference NO_SSE f32) or "
+                        "fast (bf16 store + bf16x3 matmul, ~6e-3 posterior "
+                        "error, ~2.5x throughput)")
     return p
 
 
@@ -72,7 +77,8 @@ def _run_fastsmc(args):
         hashing=args.hashing, min_m=args.min_m, skip=args.skip,
         min_maf=args.min_maf, gap=args.gap, max_seeds=args.max_seeds,
         use_known_seed=args.useKnownSeed)
-    FastSMC(params, hashing_backend=args.hashingBackend).run()
+    FastSMC(params, hashing_backend=args.hashingBackend,
+            decode_profile=args.decodeProfile).run()
 
 
 def _add_asmc_parser(sub):
@@ -90,6 +96,8 @@ def _add_asmc_parser(sub):
     p.add_argument("--majorMinorPosteriorSums", action="store_true")
     p.add_argument("--useKnownSeed", action="store_true")
     p.add_argument("--batchSize", type=int, default=64)
+    p.add_argument("--decodeProfile", default="exact",
+                   choices=["exact", "fast"])
     return p
 
 
@@ -108,7 +116,7 @@ def _run_asmc(args):
         do_posterior_sums=args.posteriorSums,
         do_major_minor_posterior_sums=args.majorMinorPosteriorSums,
         use_known_seed=args.useKnownSeed, batch_size=args.batchSize)
-    asmc = ASMC(params)
+    asmc = ASMC(params, decode_profile=args.decodeProfile)
     result = asmc.decode_all_in_job()
     asmc.write_outputs(result)
 

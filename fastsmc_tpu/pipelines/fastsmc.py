@@ -68,10 +68,14 @@ class FastSMC:
                  data: Optional[Data] = None,
                  dq: Optional[DecodingQuantities] = None,
                  use_pallas: Optional[bool] = None,
-                 hashing_backend: str = "host"):
+                 hashing_backend: str = "host",
+                 decode_profile: str = "exact"):
         """hashing_backend: "host" (streaming scan; native C++ when built,
         Python otherwise) or "device" (sort-based XLA scan,
-        hashing/vectorized.py; falls back to host when max_seeds > 0)."""
+        hashing/vectorized.py; falls back to host when max_seeds > 0).
+        decode_profile: "exact" (reference NO_SSE numerics) or "fast"
+        (bf16 alpha + bf16x3 matmuls, ~6e-3 posterior error, ~2.5x
+        decode throughput)."""
         params.fastsmc = True
         if hashing_backend not in ("host", "device"):
             raise ValueError(f"unknown hashing backend {hashing_backend!r}")
@@ -86,7 +90,10 @@ class FastSMC:
             use_pallas = jax.default_backend() not in ("cpu",)
         if use_pallas:
             from ..engine.kernels import PallasDecoder, BwdOutputs
-            self.decoder = PallasDecoder(self.ctx)
+
+            from .asmc import _profile_kwargs
+            self.decoder = PallasDecoder(self.ctx,
+                                         **_profile_kwargs(decode_profile))
             self._bwd_outputs_cls = BwdOutputs
         else:
             self.decoder = BatchedDecoder(self.ctx)

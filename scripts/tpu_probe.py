@@ -90,8 +90,8 @@ def main():
             ref = np.asarray(ref["posterior"])
             for name, kw in [
                     ("bf16_alpha", dict(alpha_dtype=jnp.bfloat16)),
-                    ("prec_high", dict(precision="fast")),
-                    ("bf16+high", dict(alpha_dtype=jnp.bfloat16,
+                    ("prec_fast", dict(precision="fast")),
+                    ("bf16+fast", dict(alpha_dtype=jnp.bfloat16,
                                        precision="fast"))]:
                 r = PallasDecoder(ctx, **kw).decode_pairs(
                     pa, pb, 0, 512, po, 0)
@@ -102,14 +102,26 @@ def main():
             print(json.dumps({"numcheck": "error", "error":
                               traceback.format_exc()[-2000:]}), flush=True)
 
-    bench("f32_highest_S1", 4096, steps_per_block=1)
-    bench("f32_highest_auto", 4096)
-    bench("bf16_highest_auto", 4096, alpha_dtype=jnp.bfloat16)
-    bench("bf16_high_auto", 4096, alpha_dtype=jnp.bfloat16, precision="fast")
-    bench("f32_high_auto", 4096, precision="fast")
-    bench("bf16_highest_P8192", 8192, alpha_dtype=jnp.bfloat16)
-    bench("bf16_high_P8192", 8192, alpha_dtype=jnp.bfloat16, precision="fast")
-    numcheck()
+    import os as _os
+    cfgs = _os.environ.get("PROBE_CFGS", "").split(",")
+
+    def want(n):
+        return not cfgs or not cfgs[0] or n in cfgs
+
+    if want("bf16_fast_auto"):
+        bench("bf16_fast_auto", 4096, alpha_dtype=jnp.bfloat16,
+              precision="fast")
+    if want("f32_fast_auto"):
+        bench("f32_fast_auto", 4096, precision="fast")
+    if want("bf16_highest_P8192"):
+        bench("bf16_highest_P8192", 8192, alpha_dtype=jnp.bfloat16)
+    if want("bf16_fast_P8192"):
+        bench("bf16_fast_P8192", 8192, alpha_dtype=jnp.bfloat16,
+              precision="fast")
+    if want("bf16_highest_auto"):
+        bench("bf16_highest_auto", 4096, alpha_dtype=jnp.bfloat16)
+    if want("numcheck"):
+        numcheck()
     print(json.dumps({"event": "done"}), flush=True)
 
 
