@@ -181,7 +181,9 @@ def main(argv=None):
     pp = sub.add_parser("prepare", help="generate decoding quantities")
     pp.add_argument("-D", "--demography", required=True)
     pp.add_argument("-d", "--discretization", required=True)
-    pp.add_argument("-C", "--CSFS", required=True)
+    pp.add_argument("-C", "--CSFS", default="",
+                    help="precomputed .csfs (omit to compute it from the "
+                         "demography; replaces the smcpp get_csfs.py step")
     pp.add_argument("-f", "--fileRoot", default=None)
     pp.add_argument("-F", "--freqFile", default=None)
     pp.add_argument("-n", "--samples", type=int, default=300)

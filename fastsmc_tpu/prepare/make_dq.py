@@ -144,7 +144,7 @@ def prepare_decoding(
         *,
         demography_file: str,
         discretization_file: str,
-        csfs_file: str,
+        csfs_file: Optional[str] = None,
         file_root: Optional[str] = None,
         freq_file: Optional[str] = None,
         samples: int = 300,
@@ -160,6 +160,20 @@ def prepare_decoding(
         freqs = AlleleFrequencies.from_haps(file_root)
     samples = min(samples, freqs.haploid_sample_size)
     transition = Transition(tv, sv, disc)
+    if not csfs_file:
+        # no smcpp artifact: compute the conditioned SFS directly
+        # (prepare/conditioned_sfs.py replaces get_csfs.py's _smcpp.raw_sfs)
+        import tempfile
+
+        from .conditioned_sfs import compute_csfs_file
+        if verbose:
+            print(f"[prepare] computing CSFS (n={samples}) from "
+                  f"{demography_file} ...")
+        tmp = tempfile.NamedTemporaryFile(suffix=".csfs", delete=False)
+        tmp.close()
+        compute_csfs_file(demography_file, discretization_file, samples,
+                          tmp.name, mu=mu)
+        csfs_file = tmp.name
     csfs = CSFS.load(csfs_file)
     if not csfs.verify(tv, sv, mu, samples, disc):
         raise ValueError(
