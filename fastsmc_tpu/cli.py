@@ -96,6 +96,8 @@ def _add_asmc_parser(sub):
     p.add_argument("--majorMinorPosteriorSums", action="store_true")
     p.add_argument("--useKnownSeed", action="store_true")
     p.add_argument("--batchSize", type=int, default=64)
+    p.add_argument("--noBatches", action="store_true",
+                   help="scalar (non-batched) oracle decoding; debug only")
     p.add_argument("--decodeProfile", default="exact",
                    choices=["exact", "fast"])
     return p
@@ -115,7 +117,8 @@ def _run_asmc(args):
         skip_csfs_distance=args.skipCSFSdistance,
         do_posterior_sums=args.posteriorSums,
         do_major_minor_posterior_sums=args.majorMinorPosteriorSums,
-        use_known_seed=args.useKnownSeed, batch_size=args.batchSize)
+        use_known_seed=args.useKnownSeed, batch_size=args.batchSize,
+        no_batches=args.noBatches)
     asmc = ASMC(params, decode_profile=args.decodeProfile)
     result = asmc.decode_all_in_job()
     asmc.write_outputs(result)

@@ -1,0 +1,176 @@
+"""Drop-in compatibility surface for the reference ``asmc`` Python module.
+
+The reference ships a pybind11 module (ASMC_SRC/SRC/pybind.cpp:54-252,
+re-exported by ASMC_SRC/SRC/__init__.py) whose classes use camelCase
+methods. This module maps that surface onto the native fastsmc_tpu
+implementation so existing scripts can switch with
+
+    import fastsmc_tpu.compat as asmc
+
+Covered: ``DecodingParams`` (both profiles), ``DecodingQuantities``,
+``ASMC`` (decodeAllInJob / decodePairs by index or "ind#hap" id /
+get_copy_of_results), ``FastSMC`` (run), ``BinaryDataReader``
+(getNextLine / moreLinesInFile), ``IbdPairDataLine`` (toString), and the
+return structs. Attribute spellings follow the pybind bindings
+(``per_pair_MAPs`` etc. aliased onto the snake_case natives).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from .config import DecodingParams as _Params
+from .io.decoding_quantities import DecodingQuantities as _DQ
+from .io.writers import BinaryDataReader as _Reader
+from .io.writers import IbdPairDataLine
+
+# reference method spelling (pybind.cpp:195)
+if not hasattr(IbdPairDataLine, "toString"):
+    IbdPairDataLine.toString = IbdPairDataLine.to_string
+from .pipelines import asmc as _asmc
+from .pipelines import fastsmc as _fastsmc
+
+__all__ = [
+    "DecodingParams", "DecodingQuantities", "ASMC", "FastSMC",
+    "BinaryDataReader", "IbdPairDataLine", "DecodePairsReturnStruct",
+    "DecodingReturnValues",
+]
+
+DecodingParams = _Params
+
+
+def DecodingQuantities(path: str) -> _DQ:
+    """Reference ctor signature: DecodingQuantities(fileName)
+    (pybind.cpp:100-101)."""
+    return _DQ.load(path)
+
+
+class DecodePairsReturnStruct:
+    """camelCase view over the native result struct
+    (pybind.cpp:79-88 attribute spellings)."""
+
+    def __init__(self, native):
+        self._native = native
+
+    def __getattr__(self, name):
+        aliases = {
+            "per_pair_MAPs": "per_pair_maps",
+            "min_MAPs": "min_maps",
+            "argmin_MAPs": "argmin_maps",
+        }
+        return getattr(self._native, aliases.get(name, name))
+
+
+class DecodingReturnValues:
+    """pybind.cpp:71-78 field spellings."""
+
+    def __init__(self, native):
+        self._native = native
+
+    @property
+    def sumOverPairs(self):
+        return self._native.sum_over_pairs
+
+    @property
+    def sumOverPairs00(self):
+        return self._native.sum_over_pairs00
+
+    @property
+    def sumOverPairs01(self):
+        return self._native.sum_over_pairs01
+
+    @property
+    def sumOverPairs11(self):
+        return self._native.sum_over_pairs11
+
+    @property
+    def siteWasFlippedDuringFolding(self):
+        return self._native.site_was_flipped
+
+    def __getattr__(self, name):
+        return getattr(self._native, name)
+
+
+class ASMC:
+    """ASMC facade with the reference constructor overloads and camelCase
+    methods (ASMC.hpp:30-69, pybind.cpp:235-251)."""
+
+    def __init__(self, params_or_in_file_root: Union[_Params, str],
+                 decoding_quant_file: str = "",
+                 out_file_root: str = ""):
+        if isinstance(params_or_in_file_root, _Params):
+            params = params_or_in_file_root
+        else:
+            params = _Params.asmc(params_or_in_file_root,
+                                  decoding_quant_file,
+                                  out_file_root or params_or_in_file_root)
+        self._impl = _asmc.ASMC(params)
+        self._results = None
+
+    def decodeAllInJob(self):
+        return DecodingReturnValues(
+            self._impl.decode_all_in_job(verbose=False))
+
+    def decodePairs(self, hap_indices_a: Sequence, hap_indices_b: Sequence,
+                    per_pair_posteriors: bool = False,
+                    sum_of_posteriors: bool = False,
+                    per_pair_posterior_means: bool = False,
+                    per_pair_MAPs: bool = False) -> None:
+        self._results = self._impl.decode_pairs(
+            list(hap_indices_a), list(hap_indices_b),
+            per_pair_posteriors=per_pair_posteriors,
+            sum_of_posteriors=sum_of_posteriors,
+            per_pair_posterior_means=per_pair_posterior_means,
+            per_pair_maps=per_pair_MAPs)
+
+    def get_copy_of_results(self) -> DecodePairsReturnStruct:
+        import copy
+        return DecodePairsReturnStruct(copy.deepcopy(self._results))
+
+    def get_ref_of_results(self) -> DecodePairsReturnStruct:
+        return DecodePairsReturnStruct(self._results)
+
+
+class FastSMC:
+    """FastSMC facade (FastSMC.hpp:26-55, pybind.cpp:231-234)."""
+
+    def __init__(self, params_or_in_dir: Union[_Params, str],
+                 out_dir: Optional[str] = None):
+        if isinstance(params_or_in_dir, _Params):
+            self._params = params_or_in_dir
+        else:
+            if out_dir is None:
+                raise TypeError("FastSMC(in_dir, out_dir) needs out_dir")
+            self._params = _Params.fastsmc_defaults(
+                params_or_in_dir, out_file_root=out_dir)
+        self._impl = None
+
+    def run(self) -> None:
+        if self._impl is None:
+            self._impl = _fastsmc.FastSMC(self._params)
+        self._impl.run(verbose=False)
+
+
+class BinaryDataReader:
+    """camelCase reader methods (pybind.cpp:197-200)."""
+
+    def __init__(self, binary_file: str):
+        self._impl = _Reader(binary_file)
+        self._it = iter(self._impl)
+        self._next = self._advance()
+
+    def _advance(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            return None
+
+    def moreLinesInFile(self) -> bool:
+        return self._next is not None
+
+    def getNextLine(self) -> IbdPairDataLine:
+        line = self._next
+        if line is None:
+            raise RuntimeError("no more lines in file")
+        self._next = self._advance()
+        return line

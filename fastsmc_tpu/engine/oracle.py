@@ -192,3 +192,29 @@ def decode_pair(ctx: DecodeContext, hap_i: int, hap_j: int,
     post = alpha * beta
     post /= post.sum(axis=1, keepdims=True)
     return post.T.astype(np.float32)  # [K, T] like the reference
+
+
+class OracleDecoder:
+    """Non-batched scalar decoder with the BatchedDecoder interface.
+
+    Mirror of the reference's ``noBatches`` debug path (HMM.cpp:1464-1721,
+    selected by DecodingParams::noBatches): each pair is decoded by the
+    scalar float32 oracle. Orders of magnitude slower than the batched
+    engines — for debugging/verification only.
+    """
+
+    def __init__(self, ctx: "DecodeContext"):
+        self.ctx = ctx
+
+    def decode_pairs(self, hap_a, hap_b, t0: int = 0, t_len=None):
+        import numpy as _np
+        L = self.ctx.data.sites
+        K = self.ctx.dq.states
+        t_len = L - t0 if t_len is None else t_len
+        end = min(t0 + t_len, L)
+        P = len(hap_a)
+        out = _np.zeros((t_len, K, P), _np.float32)
+        for i, (a, b) in enumerate(zip(hap_a, hap_b)):
+            post = decode_pair(self.ctx, int(a), int(b), t0, end)  # [K, T]
+            out[: end - t0, :, i] = post.T
+        return out

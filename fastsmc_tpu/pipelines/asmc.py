@@ -102,6 +102,8 @@ class ASMC:
             params.decoding_quant_file)
         self.ctx = DecodeContext.build(params, self.data, self.dq)
         self.batch_size = batch_size or max(params.batch_size, 64)
+        if params.no_batches:
+            use_pallas = False
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -111,6 +113,11 @@ class ASMC:
             self.decoder = PallasDecoder(self.ctx,
                                          **_profile_kwargs(decode_profile))
             self._outs_cls = BwdOutputs
+        elif params.no_batches:
+            # reference noBatches debug path: scalar oracle per pair
+            from ..engine.oracle import OracleDecoder
+            self.decoder = OracleDecoder(self.ctx)
+            self._outs_cls = None
         else:
             self.decoder = BatchedDecoder(self.ctx)
             self._outs_cls = None

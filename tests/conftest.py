@@ -67,3 +67,36 @@ def n300_data(n300_params):
 def n300_ctx(n300_params, n300_data, n300_dq):
     from fastsmc_tpu.engine.oracle import DecodeContext
     return DecodeContext.build(n300_params, n300_data, n300_dq)
+
+
+@pytest.fixture(scope="session")
+def synthetic_panel_root(tmp_path_factory):
+    """150-sample synthetic panel with planted IBD (reference file formats),
+    plus the n300 decoding-quantities artifact path and a scratch dir."""
+    import gzip
+
+    d = tmp_path_factory.mktemp("mh_panel")
+    rng = np.random.default_rng(123)
+    n_ind, sites = 150, 640
+    freqs = rng.uniform(0.05, 0.5, sites)
+    bits = (rng.random((2 * n_ind, sites)) < freqs).astype(np.uint8)
+    for (a, b, s, e) in [(4, 31, 64, 512), (100, 205, 128, 576),
+                         (7, 8, 0, 448)]:
+        bits[b, s:e] = bits[a, s:e]
+    bp = (np.arange(sites) + 1) * 5000
+    cm = np.linspace(0.0, 8.0, sites)
+    root = str(d / "panel")
+    with gzip.open(root + ".hap.gz", "wt") as f:
+        for s in range(sites):
+            f.write(f"1 SNP_{s} {bp[s]} A G "
+                    + " ".join(str(int(x)) for x in bits[:, s]) + "\n")
+    with open(root + ".samples", "w") as f:
+        f.write("ID_1 ID_2 missing\n0 0 0\n")
+        for i in range(n_ind):
+            f.write(f"fam{i} ind{i} 0\n")
+    with gzip.open(root + ".map.gz", "wt") as f:
+        f.write("pos rate cm\n")
+        for s in range(sites):
+            f.write(f"{bp[s]}\t0\t{cm[s]}\n")
+    dq_path = str(REPO / "artifacts" / "n300.array.decodingQuantities.npz")
+    return root, dq_path, d

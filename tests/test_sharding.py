@@ -61,3 +61,68 @@ def test_training_step_runs(n300_ctx):
     step, args = training_step(n300_ctx, mesh)
     out = step(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_multihost_tile_assignment_partitions_all_jobs():
+    from fastsmc_tpu.parallel.multihost import job_tiles_for_process
+    for procs, tpp in [(1, 1), (2, 2), (4, 1), (3, 3), (8, 2)]:
+        all_tiles = []
+        jobs_vals = set()
+        for p in range(procs):
+            tiles, jobs = job_tiles_for_process(p, procs, tpp)
+            all_tiles.extend(tiles)
+            jobs_vals.add(jobs)
+        assert len(jobs_vals) == 1
+        jobs = jobs_vals.pop()
+        assert sorted(all_tiles) == list(range(1, jobs + 1))
+        assert jobs >= procs * tpp
+
+
+def test_multihost_merge_concatenates_gzip(tmp_path):
+    import gzip
+
+    from fastsmc_tpu.parallel.multihost import merge_ibd_outputs
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"part{i}.ibd.gz")
+        with gzip.open(p, "wt") as f:
+            f.write(f"line{i}\n")
+        paths.append(p)
+    out = merge_ibd_outputs(paths, str(tmp_path / "merged.ibd.gz"))
+    with gzip.open(out, "rt") as f:
+        assert f.read().splitlines() == ["line0", "line1", "line2"]
+
+
+def test_multihost_fastsmc_tiles_cover_single_job(synthetic_panel_root):
+    """Per-process multihost runs over 4 'hosts' detect the same IBD pair
+    set as a single job (segment *splitting* can differ across tilings —
+    the batch-union permissive window depends on batch composition, as in
+    the reference, HMM.cpp:1199-1204)."""
+    import gzip
+
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.parallel.multihost import (merge_ibd_outputs,
+                                                run_fastsmc_multihost)
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, dq_path, tmp = synthetic_panel_root
+
+    def pair_ids(path):
+        with gzip.open(path, "rt") as fh:
+            return set(tuple(l.split("\t")[:7])
+                       for l in fh.read().splitlines())
+
+    single = DecodingParams.fastsmc_defaults(
+        root, dq_path, str(tmp / "single"), use_known_seed=True, min_m=0.5)
+    single_ids = pair_ids(FastSMC(single, use_pallas=False).run(
+        verbose=False))
+
+    paths = []
+    for pid in range(4):
+        params = DecodingParams.fastsmc_defaults(
+            root, dq_path, str(tmp / "mh"), use_known_seed=True, min_m=0.5)
+        paths += run_fastsmc_multihost(params, process_id=pid,
+                                       num_processes=4, use_pallas=False)
+    merged = merge_ibd_outputs(paths, str(tmp / "merged.ibd.gz"))
+    assert pair_ids(merged) == single_ids
+    assert len(single_ids) > 0
