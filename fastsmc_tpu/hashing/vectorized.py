@@ -42,6 +42,15 @@ haploid/diploid folding, triangular job windows; validated in
 tests/test_hashing_vectorized.py).  ``max_seeds > 0`` (recursive
 sub-hashing, SeedHash.hpp:56-93) falls back to the host scan — the bucket
 capping recursion is a CPU-hash recall heuristic with no TPU benefit.
+
+When to use which (scripts/hashing_scale_probe.py): the native C++ host
+scan is much faster in wall-clock terms — GERMLINE2 is linear and
+cache-friendly, while the device path pays per-word sorts and XLA
+dispatch/compile overheads — so ``hashing_backend="host"`` is the default.
+The device scan exists for pipelines that want identification to stay on
+the accelerator (no host round-trip of the packed panel) and as the
+scalable formulation should the host core become the bottleneck at
+extreme panel sizes; its outputs are identical.
 """
 
 from __future__ import annotations
