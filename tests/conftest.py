@@ -6,22 +6,29 @@ The TPU hardware path is exercised separately (bench.py and the
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the session default (axon)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-# keep the compilation cache out of unit tests
-os.environ.setdefault("FASTSMC_TPU_NO_CACHE", "1")
+_ON_TPU = os.environ.get("FASTSMC_TEST_TPU", "") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the session default
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    # keep the compilation cache out of unit tests
+    os.environ.setdefault("FASTSMC_TPU_NO_CACHE", "1")
 
 import pathlib
 import sys
 
 import jax
 
-# the axon sitecustomize pins the platform regardless of JAX_PLATFORMS;
-# force the CPU backend explicitly for unit tests
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # the axon sitecustomize pins the platform regardless of JAX_PLATFORMS;
+    # force the CPU backend explicitly for unit tests.
+    # FASTSMC_TEST_TPU=1 keeps the hardware backend so the tpu-marked
+    # golden regressions run on the chip: 
+    #   FASTSMC_TEST_TPU=1 pytest tests/ -m tpu -q
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
