@@ -122,3 +122,17 @@ def test_prepared_artifact_roundtrip(tmp_path, n300_dq):
                                small.compressed_emission, rtol=1e-6)
     np.testing.assert_allclose(parsed.folded_ascertained_csfs,
                                small.folded_ascertained_csfs, rtol=1e-6)
+
+
+def test_decoding_quantities_file_validation():
+    """Mirror of test_decoding_quantities.cpp:24-45 against the reference's
+    own fixtures: magic-header check on the text format."""
+    import pytest
+
+    from fastsmc_tpu.io.decoding_quantities import parse_reference_text
+    data = "/root/reference/ASMC_SRC/TESTS/data"
+    with pytest.raises(Exception):
+        parse_reference_text(f"{data}/random_nonexistent_file.txt")
+    parse_reference_text(f"{data}/decoding_quantities_good.txt")  # no raise
+    with pytest.raises(ValueError):
+        parse_reference_text(f"{data}/decoding_quantities_bad.txt")
