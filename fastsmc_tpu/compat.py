@@ -17,6 +17,7 @@ return structs. Attribute spellings follow the pybind bindings
 
 from __future__ import annotations
 
+import enum
 from typing import List, Optional, Sequence, Union
 
 from .config import DecodingParams as _Params
@@ -30,13 +31,111 @@ if not hasattr(IbdPairDataLine, "toString"):
 from .pipelines import asmc as _asmc
 from .pipelines import fastsmc as _fastsmc
 
+# notebooks do `from asmc.preparedecoding import *` (asmc-api-test.ipynb);
+# expose the same submodule name on this compat surface
+from . import preparedecoding  # noqa: E402,F401
+
 __all__ = [
     "DecodingParams", "DecodingQuantities", "ASMC", "FastSMC",
     "BinaryDataReader", "IbdPairDataLine", "DecodePairsReturnStruct",
-    "DecodingReturnValues",
+    "DecodingReturnValues", "DecodingMode", "DecodingModeOverall",
+    "preparedecoding",
 ]
 
-DecodingParams = _Params
+
+class DecodingModeOverall(enum.IntEnum):
+    """pybind.cpp:55-57."""
+    sequence = 0
+    array = 1
+
+
+class DecodingMode(enum.IntEnum):
+    """pybind.cpp:58-62."""
+    sequenceFolded = 0
+    arrayFolded = 1
+    sequence = 2
+    array = 3
+
+
+# camelCase pybind attribute -> native snake_case field
+# (pybind.cpp:146-178; names that already match are omitted)
+_PARAM_ALIASES = {
+    "inFileRoot": "in_file_root",
+    "decodingQuantFile": "decoding_quant_file",
+    "outFileRoot": "out_file_root",
+    "jobInd": "job_ind",
+    "decodingModeString": "decoding_mode",
+    "decodingSequence": "decoding_sequence",
+    "foldData": "fold_data",
+    "usingCSFS": "using_csfs",
+    "useAncestral": "use_ancestral",
+    "skipCSFSdistance": "skip_csfs_distance",
+    "noBatches": "no_batches",
+    "batchSize": "batch_size",
+    "recallThreshold": "recall_threshold",
+    "FastSMC": "fastsmc",
+    "BIN_OUT": "bin_out",
+    "useKnownSeed": "use_known_seed",
+    "outputIbdSegmentLength": "output_ibd_segment_length",
+    "hashingWordSize": "hashing_word_size",
+    "constReadAhead": "const_read_ahead",
+    "noConditionalAgeEstimates": "no_conditional_age_estimates",
+    "doPosteriorSums": "do_posterior_sums",
+    "doPerPairMAP": "do_per_pair_map",
+    "doPerPairPosteriorMean": "do_per_pair_posterior_mean",
+    "expectedCoalTimesFile": "expected_coal_times_file",
+    "withinOnly": "within_only",
+    "doMajorMinorPosteriorSums": "do_major_minor_posterior_sums",
+}
+
+
+class DecodingParams(_Params):
+    """Reference pybind DecodingParams: camelCase read/write attributes and
+    the validate methods, as used attribute-style in notebooks/fastsmc.ipynb
+    (pybind.cpp:122-179)."""
+
+    def __getattr__(self, name):
+        # only called when normal lookup fails, i.e. for camelCase spellings
+        snake = _PARAM_ALIASES.get(name)
+        if snake is None:
+            raise AttributeError(name)
+        return getattr(self, snake)
+
+    def __setattr__(self, name, value):
+        if name == "decodingMode":
+            # the enum encodes mode + foldedness (pybind.cpp:58-62)
+            value = DecodingMode(value)
+            object.__setattr__(
+                self, "decoding_mode",
+                "array" if value in (DecodingMode.array,
+                                     DecodingMode.arrayFolded) else "sequence")
+            object.__setattr__(
+                self, "fold_data",
+                value in (DecodingMode.arrayFolded,
+                          DecodingMode.sequenceFolded))
+            return
+        object.__setattr__(self, _PARAM_ALIASES.get(name, name), value)
+
+    @property
+    def decodingMode(self) -> DecodingMode:
+        if self.decoding_mode == "array":
+            return (DecodingMode.arrayFolded if self.fold_data
+                    else DecodingMode.array)
+        return (DecodingMode.sequenceFolded if self.fold_data
+                else DecodingMode.sequence)
+
+    @decodingMode.setter
+    def decodingMode(self, value):
+        self.__setattr__("decodingMode", value)
+
+    def validateParamsFastSMC(self) -> bool:
+        """DecodingParams.cpp:278-464 — returns True when consistent."""
+        self.finalize()
+        return True
+
+    def validateParams(self) -> bool:
+        self.finalize()
+        return True
 
 
 def DecodingQuantities(path: str) -> _DQ:
@@ -134,13 +233,19 @@ class ASMC:
 class FastSMC:
     """FastSMC facade (FastSMC.hpp:26-55, pybind.cpp:231-234)."""
 
-    def __init__(self, params_or_in_dir: Union[_Params, str],
-                 out_dir: Optional[str] = None):
+    def __init__(self, params_or_in_dir: Union[_Params, str, None] = None,
+                 out_dir: Optional[str] = None, *,
+                 in_dir: Optional[str] = None):
+        # reference pybind exposes both FastSMC(params) and
+        # FastSMC(in_dir=..., out_dir=...) (pybind.cpp:231-234, used
+        # keyword-style in notebooks/fastsmc-minimal.ipynb)
+        if in_dir is not None:
+            params_or_in_dir = in_dir
         if isinstance(params_or_in_dir, _Params):
             self._params = params_or_in_dir
         else:
-            if out_dir is None:
-                raise TypeError("FastSMC(in_dir, out_dir) needs out_dir")
+            if params_or_in_dir is None or out_dir is None:
+                raise TypeError("FastSMC(in_dir, out_dir) needs both")
             self._params = _Params.fastsmc_defaults(
                 params_or_in_dir, out_file_root=out_dir)
         self._impl = None

@@ -37,6 +37,18 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 REF = pathlib.Path("/root/reference")
 
 
+def pytest_collection_modifyitems(config, items):
+    """slow-marked tests (Pallas interpret mode is ~minutes on CPU) only run
+    with FASTSMC_RUN_SLOW=1; the same numerics are covered by the oracle/XLA
+    cross-checks and the tpu-marked on-chip goldens."""
+    if os.environ.get("FASTSMC_RUN_SLOW", "") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow; set FASTSMC_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def repo_root() -> pathlib.Path:
     return REPO

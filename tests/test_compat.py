@@ -47,3 +47,65 @@ def test_binary_reader_camel_case(asmc_mod):
         n += 1
     assert n == 1520
     assert isinstance(first.toString(), str)
+
+
+def test_decoding_params_camel_case(asmc_mod):
+    """notebooks/fastsmc.ipynb configures params attribute-style with the
+    pybind camelCase names (pybind.cpp:146-178)."""
+    DecodingMode = asmc_mod.DecodingMode
+    p = asmc_mod.DecodingParams()
+    p.decodingQuantFile = "dq.npz"
+    p.inFileRoot = "in"
+    p.outFileRoot = "out"
+    p.decodingModeString = "array"
+    p.decodingMode = DecodingMode.arrayFolded
+    p.foldData = True
+    p.usingCSFS = True
+    p.batchSize = 32
+    p.recallThreshold = 3
+    p.min_m = 1.5
+    p.hashing = True
+    p.FastSMC = True
+    p.BIN_OUT = True
+    p.outputIbdSegmentLength = True
+    p.time = 50
+    p.noConditionalAgeEstimates = True
+    p.doPerPairMAP = True
+    p.doPerPairPosteriorMean = True
+    assert p.validateParamsFastSMC()
+    # camelCase reads reflect the native snake_case fields
+    assert p.batch_size == 32 and p.batchSize == 32
+    assert p.bin_out and p.BIN_OUT and p.fastsmc and p.FastSMC
+    assert p.decodingMode == DecodingMode.arrayFolded
+    p.decodingMode = DecodingMode.sequence
+    assert p.decoding_mode == "sequence" and not p.fold_data
+
+
+def test_fastsmc_in_dir_kwargs(asmc_mod, repo_root):
+    """FastSMC(in_dir=..., out_dir=...) keyword ctor (pybind.cpp:233,
+    notebooks/fastsmc-minimal.ipynb)."""
+    panel = str(repo_root / "artifacts" / "panels" / "example_array"
+                / "example")
+    fs = asmc_mod.FastSMC(in_dir=panel, out_dir="/tmp/compat_min_out")
+    # dq file auto-derives to <inFileRoot>.decodingQuantities.gz
+    assert fs._params.decoding_quant_file == (
+        panel + ".decodingQuantities.gz")
+    import pytest
+    with pytest.raises(TypeError):
+        asmc_mod.FastSMC(in_dir=panel)  # out_dir required
+
+
+def test_preparedecoding_submodule(asmc_mod, repo_root, tmp_path):
+    """`from asmc.preparedecoding import *` equivalent: wrapper exposes the
+    reference package save methods over our native artifact."""
+    from fastsmc_tpu import preparedecoding as pdec
+    from fastsmc_tpu.io.decoding_quantities import (
+        DecodingQuantities as NativeDQ)
+    native = NativeDQ.load_npz(
+        str(repo_root / "artifacts" / "example.decodingQuantities.npz"))
+    dq = pdec.DecodingQuantities(native)
+    out = tmp_path / "model"
+    dq.save_intervals(str(out))
+    assert (tmp_path / "model.intervalsInfo").read_text().count("\n") == 69
+    assert dq.states == 69  # passthrough
+    assert asmc_mod.preparedecoding is pdec

@@ -68,8 +68,13 @@ def test_sequence_mode_oracle_vs_batched(repo_root):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_sequence_mode_pallas_interpret(repo_root):
-    """Sequence mode through the Pallas kernels (interpret on CPU)."""
+    """Sequence mode through the Pallas kernels (interpret on CPU).
+
+    ~20 min in interpret mode; run with FASTSMC_RUN_SLOW=1. The sequence-mode
+    numerics are covered by test_sequence_mode_oracle_vs_batched on every
+    run and by the tpu-marked goldens on hardware."""
     from fastsmc_tpu.config import DecodingParams
     from fastsmc_tpu.engine.kernels import PallasDecoder, BwdOutputs
     from fastsmc_tpu.engine.oracle import DecodeContext, decode_pair
