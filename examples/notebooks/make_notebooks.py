@@ -50,8 +50,8 @@ from fastsmc_tpu import preparedecoding"""),
     ("md", "Create the ASMC object from the input files root and the "
            "decoding quantities file."),
     ("code", """\
-input_files_root = '/root/reference/FILES/EXAMPLE/exampleFile.n300.array'
-decoding_quantities_file = '../../artifacts/n300.array.decodingQuantities.npz'
+input_files_root = '../../artifacts/panels/example_array/example'
+decoding_quantities_file = '../../artifacts/example.decodingQuantities.npz'
 
 a = asmc.ASMC(input_files_root, decoding_quantities_file)"""),
     ("md", "Decode specific pairs; flags choose what gets computed."),

@@ -94,6 +94,20 @@ def _add_asmc_parser(sub):
     p.add_argument("--skipCSFSdistance", type=float, default=0.0)
     p.add_argument("--posteriorSums", action="store_true")
     p.add_argument("--majorMinorPosteriorSums", action="store_true")
+    # per-pair output surface (DecodingParams.hpp:56-60; the reference
+    # reaches these through the library API / HMM setters)
+    p.add_argument("--perPairPosteriorMeans", action="store_true",
+                   help="stream per-pair posterior means to "
+                        "<out>.perPairPosteriorMeans.gz (large output)")
+    p.add_argument("--perPairMAP", action="store_true",
+                   help="stream per-pair MAP states to <out>.perPairMAP.gz")
+    p.add_argument("--expectedCoalTimesFile", default="",
+                   help="3-column intervals file supplying expected "
+                        "coalescent times for posterior means "
+                        "(implies --perPairPosteriorMeans)")
+    p.add_argument("--withinOnly", action="store_true",
+                   help="only decode pairs within unphased individuals")
+    p.add_argument("--noConditionalAgeEstimates", action="store_true")
     p.add_argument("--useKnownSeed", action="store_true")
     p.add_argument("--batchSize", type=int, default=64)
     p.add_argument("--noBatches", action="store_true",
@@ -107,7 +121,9 @@ def _run_asmc(args):
     from .config import DecodingParams
     from .pipelines.asmc import ASMC
 
-    if not (args.posteriorSums or args.majorMinorPosteriorSums):
+    if not (args.posteriorSums or args.majorMinorPosteriorSums
+            or args.perPairPosteriorMeans or args.perPairMAP
+            or args.expectedCoalTimesFile):
         sys.exit("ERROR: At least one of --posteriorSums, "
                  "--majorMinorPosteriorSums, must be specified")
     params = DecodingParams.asmc(
@@ -117,6 +133,11 @@ def _run_asmc(args):
         skip_csfs_distance=args.skipCSFSdistance,
         do_posterior_sums=args.posteriorSums,
         do_major_minor_posterior_sums=args.majorMinorPosteriorSums,
+        do_per_pair_posterior_mean=args.perPairPosteriorMeans,
+        do_per_pair_map=args.perPairMAP,
+        expected_coal_times_file=args.expectedCoalTimesFile,
+        within_only=args.withinOnly,
+        no_conditional_age_estimates=args.noConditionalAgeEstimates,
         use_known_seed=args.useKnownSeed, batch_size=args.batchSize,
         no_batches=args.noBatches)
     asmc = ASMC(params, decode_profile=args.decodeProfile)

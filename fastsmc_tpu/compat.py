@@ -88,6 +88,11 @@ _PARAM_ALIASES = {
     "doMajorMinorPosteriorSums": "do_major_minor_posterior_sums",
 }
 
+# the real config fields (strict-attribute check in __setattr__)
+import dataclasses as _dataclasses  # noqa: E402
+
+_PARAM_FIELDS = frozenset(f.name for f in _dataclasses.fields(_Params))
+
 
 class DecodingParams(_Params):
     """Reference pybind DecodingParams: camelCase read/write attributes and
@@ -103,21 +108,28 @@ class DecodingParams(_Params):
 
     def __setattr__(self, name, value):
         if name == "decodingMode":
-            # the enum encodes mode + foldedness (pybind.cpp:58-62)
-            value = DecodingMode(value)
-            object.__setattr__(
-                self, "decoding_mode",
-                "array" if value in (DecodingMode.array,
-                                     DecodingMode.arrayFolded) else "sequence")
-            object.__setattr__(
-                self, "fold_data",
-                value in (DecodingMode.arrayFolded,
-                          DecodingMode.sequenceFolded))
+            # the enum field is distinct from decodingModeString in the
+            # reference (DecodingParams.hpp:37-38): assigning it does NOT
+            # rewrite the string, and validate re-derives the enum from the
+            # string (processOptions, DecodingParams.cpp:502-533) — so a
+            # bare enum assignment is overridden at validate time, exactly
+            # like the pybind surface.
+            object.__setattr__(self, "_decoding_mode_enum",
+                               DecodingMode(value))
             return
-        object.__setattr__(self, _PARAM_ALIASES.get(name, name), value)
+        snake = _PARAM_ALIASES.get(name, name)
+        # strict surface (pybind rejects unknown attributes): only known
+        # camelCase aliases, real config fields, and private state pass
+        if snake not in _PARAM_FIELDS and not snake.startswith("_"):
+            raise AttributeError(
+                f"'DecodingParams' has no attribute {name!r}")
+        object.__setattr__(self, snake, value)
 
     @property
     def decodingMode(self) -> DecodingMode:
+        shadow = self.__dict__.get("_decoding_mode_enum")
+        if shadow is not None:
+            return shadow
         if self.decoding_mode == "array":
             return (DecodingMode.arrayFolded if self.fold_data
                     else DecodingMode.array)
@@ -129,11 +141,20 @@ class DecodingParams(_Params):
         self.__setattr__("decodingMode", value)
 
     def validateParamsFastSMC(self) -> bool:
-        """DecodingParams.cpp:278-464 — returns True when consistent."""
+        """DecodingParams.cpp:278-464 — returns True when consistent.
+
+        Like the reference, validating FastSMC params with the FastSMC flag
+        unset is a hard error (DecodingParams.cpp:282-287)."""
+        if not self.fastsmc:
+            raise RuntimeError(
+                "Attempting to validate FastSMC parameters but FastSMC flag "
+                "is false. Set DecodingParams.FastSMC to true?")
+        object.__setattr__(self, "_decoding_mode_enum", None)
         self.finalize()
         return True
 
     def validateParams(self) -> bool:
+        object.__setattr__(self, "_decoding_mode_enum", None)
         self.finalize()
         return True
 

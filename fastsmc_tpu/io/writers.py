@@ -193,6 +193,55 @@ class BinaryDataReader:
 # posterior sum matrices (main.cpp:119-167)
 # ---------------------------------------------------------------------------
 
+def read_expected_times_from_intervals_file(path: str) -> np.ndarray:
+    """Parse an ``.intervalsInfo``-style file into expected coalescent times.
+
+    Mirrors ``readExpectedTimesFromIntervalsFile`` (HMM.cpp:40-61): each line
+    is "intervalStart expectedCoalescentTime intervalEnd"; the middle column
+    is kept (float32).
+    """
+    opener = gzip.open if path.endswith(".gz") else open
+    times = []
+    with opener(path, "rt") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 3:
+                raise ValueError(
+                    f"{path} should have \"intervalStart\t"
+                    f"expectedCoalescentTime\tintervalEnd\" at each line.")
+            times.append(np.float32(parts[1]))
+    return np.asarray(times, np.float32)
+
+
+class PerPairStreamWriter:
+    """Streaming gzip writer for ``.perPairPosteriorMeans.gz`` /
+    ``.perPairMAP.gz`` (HMM.cpp:258-271, 1414-1419).
+
+    One row per decoded pair, space-separated, Eigen FullPrecision float
+    formatting (max_digits10 == 9 for float). The reference's Eigen format
+    uses "\\n" as the row separator with no terminator, which concatenates
+    the last row of one batch with the first row of the next; we terminate
+    every row (deliberate, documented fix — files stay line-parseable).
+    """
+
+    def __init__(self, path: str, integers: bool = False):
+        self._f = gzip.open(path, "wt")
+        self._int = integers
+
+    def write_rows(self, mat: np.ndarray) -> None:
+        for row in mat:
+            if self._int:
+                self._f.write(" ".join(str(int(v)) for v in row))
+            else:
+                self._f.write(" ".join("%.9g" % float(v) for v in row))
+            self._f.write("\n")
+
+    def close(self) -> None:
+        self._f.close()
+
+
 def _eigen_tab_format(mat: np.ndarray) -> str:
     # Eigen StreamPrecision default-float (like %g with precision 6... Eigen
     # StreamPrecision uses the stream default precision 6); reference uses

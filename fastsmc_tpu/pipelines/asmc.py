@@ -122,6 +122,29 @@ class ASMC:
             self.decoder = BatchedDecoder(self.ctx)
             self._outs_cls = None
 
+        # expected coalescent times for per-pair posterior means: from
+        # --expectedCoalTimesFile when given (HMM.cpp:1741-1748, non-FastSMC
+        # only), else the decoding quantities' expectedTimes
+        self.expected_coal_times = self.dq.expected_times
+        ect_file = params.expected_coal_times_file
+        if ect_file and not params.fastsmc:
+            import os
+            if os.path.isfile(ect_file):
+                self.expected_coal_times = \
+                    writers.read_expected_times_from_intervals_file(ect_file)
+                if len(self.expected_coal_times) != self.dq.states:
+                    raise ValueError(
+                        f"{ect_file} has {len(self.expected_coal_times)} "
+                        f"times, expected {self.dq.states}")
+                if use_pallas:
+                    # the fused per_pair_mean reduction reads the decoder's
+                    # expected-times row; swap in the file's values
+                    from ..engine.kernels import KC
+                    e = np.zeros((1, KC), np.float32)
+                    e[0, :self.dq.states] = self.expected_coal_times
+                    import jax.numpy as jnp
+                    self.decoder.exp_times = jnp.asarray(e)
+
     # ------------------------------------------------------------------
     @staticmethod
     def pairs_from_flat_indices(idx: np.ndarray, within_only: bool = False
@@ -191,6 +214,19 @@ class ASMC:
         mm = np.zeros((3, L, K), np.float64) \
             if p.do_major_minor_posterior_sums else None
 
+        # per-pair streaming outputs (HMM.cpp:258-271, 1360-1419): one row
+        # per decoded pair, written batch by batch as decoding proceeds.
+        # The reference only streams these outside FastSMC mode.
+        need_mean = p.do_per_pair_posterior_mean and not p.fastsmc
+        need_map = p.do_per_pair_map and not p.fastsmc
+        mean_writer = map_writer = None
+        if need_mean:
+            mean_writer = writers.PerPairStreamWriter(
+                p.out_file_root + ".perPairPosteriorMeans.gz")
+        if need_map:
+            map_writer = writers.PerPairStreamWriter(
+                p.out_file_root + ".perPairMAP.gz", integers=True)
+
         for ofs in range(0, n_pairs, bs):
             n = min(bs, n_pairs - ofs)
             h1_64, h2_64 = self.pairs_from_flat_indices(
@@ -200,21 +236,55 @@ class ASMC:
             if n < bs:
                 h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])
                 h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
-            if self._use_pallas and n == bs:
+            if self._use_pallas:
                 outs = self._outs_cls(
                     posterior=False,
                     posterior_sums=p.do_posterior_sums,
                     major_minor_sums=p.do_major_minor_posterior_sums,
+                    per_pair_mean=need_mean, per_pair_map=need_map,
                     threshold_sums=False)
                 r = self.decoder.decode_pairs(h1, h2, 0, t_len, outs, 0)
+                if n < bs and (p.do_posterior_sums or mm is not None):
+                    # the padding slots repeat the last real pair, so the
+                    # fused over-pairs sums overcount it by (bs - n); a
+                    # second fused decode of that pair alone supplies the
+                    # correction without ever materializing the [T, K, P]
+                    # posterior on host
+                    pad1 = np.full(bs, h1[n - 1], np.int32)
+                    pad2 = np.full(bs, h2[n - 1], np.int32)
+                    outs_pad = self._outs_cls(
+                        posterior=False,
+                        posterior_sums=p.do_posterior_sums,
+                        major_minor_sums=mm is not None,
+                        threshold_sums=False)
+                    r_pad = self.decoder.decode_pairs(pad1, pad2, 0, t_len,
+                                                      outs_pad, 0)
+                    frac = (bs - n) / bs
+                else:
+                    r_pad, frac = None, 0.0
                 if p.do_posterior_sums:
-                    sums += np.asarray(r["posterior_sums"])[:L]
+                    s = np.asarray(r["posterior_sums"], np.float64)[:L]
+                    if r_pad is not None:
+                        s -= frac * np.asarray(r_pad["posterior_sums"],
+                                               np.float64)[:L]
+                    sums += s
                 if mm is not None:
-                    mm += np.asarray(
-                        r["major_minor_sums"])[:L].transpose(1, 0, 2)
+                    s = np.asarray(r["major_minor_sums"],
+                                   np.float64)[:L].transpose(1, 0, 2)
+                    if r_pad is not None:
+                        s -= frac * np.asarray(
+                            r_pad["major_minor_sums"],
+                            np.float64)[:L].transpose(1, 0, 2)
+                    mm += s
+                if need_mean:
+                    mean_writer.write_rows(
+                        np.asarray(r["per_pair_mean"])[:L, :n].T)
+                if need_map:
+                    map_writer.write_rows(
+                        np.asarray(r["per_pair_map"])[:L, :n].T)
             else:
-                # partial batch: padding pairs must NOT contribute to sums,
-                # so take the full posterior and reduce on host
+                # portable XLA path: full posterior on host (padding pairs
+                # are sliced away before any reduction)
                 post = self._full_posterior(h1, h2, t_len)[:L, :, :n]
                 if p.do_posterior_sums:
                     sums += post.sum(axis=2)
@@ -229,10 +299,20 @@ class ASMC:
                     for wi, w in enumerate((w00, w01, w11)):
                         mm[wi] += np.einsum("tkp,tp->tk", post,
                                             w.astype(np.float32))
+                if need_mean:
+                    ect = self.expected_coal_times
+                    mean_writer.write_rows(
+                        np.einsum("tkp,k->pt", post, ect))
+                if need_map:
+                    map_writer.write_rows(post.argmax(axis=1).T)
             if verbose:
                 done = min(ofs + bs, n_pairs)
                 print(f"\rDecoding progress: {100 * done // n_pairs}% "
                       f"({done}/{n_pairs})", end="", flush=True)
+        if mean_writer is not None:
+            mean_writer.close()
+        if map_writer is not None:
+            map_writer.close()
         if verbose:
             print(f"\nDecoded {n_pairs} pairs in "
                   f"{time.time() - t0:.3f} seconds.")
@@ -338,7 +418,7 @@ class ASMC:
         t_len = bucket_len(L)
 
         post = self._full_posterior(ha, hb, t_len)[:L]   # [L, K, n]
-        expt = self.dq.expected_times
+        expt = self.expected_coal_times
 
         indices = []
         for a, b in zip(ha, hb):

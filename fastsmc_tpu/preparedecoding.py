@@ -51,7 +51,7 @@ class DecodingQuantities:
         """Write ``<root>.decodingQuantities.gz`` (or the exact path given)
         in the reference gzipped text format (DecodingQuantities.java:190)."""
         path = output_file_root
-        if not path.endswith((".decodingQuantities.gz", ".gz")):
+        if not path.endswith(".decodingQuantities.gz"):
             path = output_file_root + ".decodingQuantities.gz"
         write_reference_text(self._native, path)
 

@@ -77,8 +77,36 @@ def test_decoding_params_camel_case(asmc_mod):
     assert p.batch_size == 32 and p.batchSize == 32
     assert p.bin_out and p.BIN_OUT and p.fastsmc and p.FastSMC
     assert p.decodingMode == DecodingMode.arrayFolded
+    # the enum field is distinct from decodingModeString in the reference:
+    # assigning it does not rewrite the string, and validate re-derives the
+    # enum from the string (DecodingParams.cpp:502-533)
     p.decodingMode = DecodingMode.sequence
-    assert p.decoding_mode == "sequence" and not p.fold_data
+    assert p.decodingMode == DecodingMode.sequence
+    assert p.decoding_mode == "array" and p.fold_data
+    assert p.validateParamsFastSMC()
+    assert p.decodingMode == DecodingMode.arrayFolded
+
+
+def test_decoding_params_rejects_unknown_attrs(asmc_mod):
+    """The pybind surface is strict: a typo'd attribute must raise, not
+    silently do nothing."""
+    import pytest
+    p = asmc_mod.DecodingParams()
+    with pytest.raises(AttributeError):
+        p.decodingQuantFlie = "typo.npz"
+    with pytest.raises(AttributeError):
+        p.batchSzie = 64
+
+
+def test_validate_fastsmc_requires_flag(asmc_mod):
+    """DecodingParams.cpp:282-287: validating FastSMC params with the
+    FastSMC flag unset is a hard error."""
+    import pytest
+    p = asmc_mod.DecodingParams()
+    p.inFileRoot = "in"
+    assert not p.fastsmc
+    with pytest.raises(RuntimeError):
+        p.validateParamsFastSMC()
 
 
 def test_fastsmc_in_dir_kwargs(asmc_mod, repo_root):

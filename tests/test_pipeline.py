@@ -276,3 +276,120 @@ def test_fastsmc_device_hashing_backend_matches_host(synthetic_panel,
     host = rows("h", "host")
     device = rows("d", "device")
     assert device == host
+
+
+# ---------------------------------------------------------------------------
+# default-suite smokes (NOT slow-marked): one end-to-end path always runs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_panel(tmp_path_factory):
+    """150 diploid samples (the n300 CSFS needs 300 haps) x 256 sites, one
+    planted IBD pair — small enough for the default (fast) suite."""
+    d = tmp_path_factory.mktemp("tiny_panel")
+    rng = np.random.default_rng(7)
+    n_ind, sites = 150, 256
+    n_haps = 2 * n_ind
+    freqs = rng.uniform(0.05, 0.5, sites)
+    bits = (rng.random((n_haps, sites)) < freqs).astype(np.uint8)
+    planted = [(3, 17, 32, 224)]
+    for (a, b, s, e) in planted:
+        bits[b, s:e] = bits[a, s:e]
+    bp = (np.arange(sites) + 1) * 5000
+    cm = np.linspace(0.0, 4.0, sites)
+    root = str(d / "panel")
+    with gzip.open(root + ".hap.gz", "wt") as f:
+        for s in range(sites):
+            alleles = " ".join(str(int(x)) for x in bits[:, s])
+            f.write(f"1 SNP_{s} {bp[s]} A G {alleles}\n")
+    with open(root + ".samples", "w") as f:
+        f.write("ID_1 ID_2 missing\n0 0 0\n")
+        for i in range(n_ind):
+            f.write(f"fam{i} ind{i} 0\n")
+    with gzip.open(root + ".map.gz", "wt") as f:
+        f.write("pos rate cm\n")
+        for s in range(sites):
+            f.write(f"{bp[s]}\t0\t{cm[s]}\n")
+    # second root with the ASMC 4-column map format (chr id cM pos,
+    # Data.cpp:162-210) for non-FastSMC runs
+    root2 = str(d / "panel_asmc")
+    import shutil
+    shutil.copy(root + ".hap.gz", root2 + ".hap.gz")
+    shutil.copy(root + ".samples", root2 + ".samples")
+    with gzip.open(root2 + ".map.gz", "wt") as f:
+        for s in range(sites):
+            f.write(f"1\tSNP_{s}\t{cm[s]}\t{bp[s]}\n")
+    return root, root2, planted, bits
+
+
+def test_fastsmc_smoke_default_suite(tiny_panel, repo_root, tmp_path):
+    """Trimmed end-to-end FastSMC (hashing -> validation -> writer) that
+    always runs in the default suite (VERDICT r1 #6)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, _root2, planted, bits = tiny_panel
+    params = DecodingParams.fastsmc_defaults(
+        root, str(repo_root / "artifacts" /
+                  "n300.array.decodingQuantities.npz"),
+        str(tmp_path / "smoke"), use_known_seed=True, min_m=0.5,
+        batch_size=16)
+    f = FastSMC(params, use_pallas=False)
+    path = f.run(verbose=False)
+    with gzip.open(path, "rt") as fh:
+        lines = [l.split("\t") for l in fh.read().splitlines()]
+    assert lines, "no segments detected"
+    # the planted pair must be recovered
+    got_pairs = {(int(l[1].split("ind")[1]) * 2 + int(l[2]) - 1,
+                  int(l[4].split("ind")[1]) * 2 + int(l[5]) - 1)
+                 for l in lines}
+    a, b = planted[0][0], planted[0][1]
+    assert any({p, q} == {a, b} for p, q in got_pairs)
+
+
+def test_asmc_per_pair_streaming_outputs(tiny_panel, repo_root, tmp_path):
+    """ASMC decode_all_in_job streams .perPairPosteriorMeans.gz /
+    .perPairMAP.gz (HMM.cpp:258-271, 1360-1419), validated against the
+    scalar oracle; --expectedCoalTimesFile swaps the time scale
+    (HMM.cpp:1741-1748)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.engine.oracle import decode_pair
+    from fastsmc_tpu.pipelines.asmc import ASMC
+
+    _root, root, planted, bits = tiny_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+    out = str(tmp_path / "pp")
+    params = DecodingParams.asmc(
+        root, dq, out, do_per_pair_posterior_mean=True, do_per_pair_map=True,
+        within_only=True, use_known_seed=True)
+    # batch 64 < 150 pairs forces a partial batch through the writer path
+    a = ASMC(params, use_pallas=False, batch_size=64)
+    a.decode_all_in_job(verbose=False)
+
+    means = np.loadtxt(out + ".perPairPosteriorMeans.gz")
+    maps = np.loadtxt(out + ".perPairMAP.gz")
+    n_ind, L = 150, a.data.sites
+    assert means.shape == (n_ind, L)
+    assert maps.shape == (n_ind, L)
+
+    expt = a.dq.expected_times
+    for i in (0, 80, 149):  # spans full and partial batches
+        post = decode_pair(a.ctx, 2 * i, 2 * i + 1)       # [K, L]
+        want_mean = (post * expt[:, None]).sum(axis=0)
+        np.testing.assert_allclose(means[i], want_mean, rtol=5e-3)
+        np.testing.assert_array_equal(maps[i], post.argmax(axis=0))
+
+    # expectedCoalTimesFile: 3-column intervals file, middle column used
+    ect = str(tmp_path / "times.intervalsInfo")
+    with open(ect, "w") as fh:
+        for k, t in enumerate(expt):
+            fh.write(f"{k}\t{2.0 * t}\t{k + 1}\n")
+    out2 = str(tmp_path / "pp2")
+    params2 = DecodingParams.asmc(
+        root, dq, out2, expected_coal_times_file=ect, within_only=True,
+        use_known_seed=True)
+    assert params2.do_per_pair_posterior_mean  # implied (processOptions)
+    a2 = ASMC(params2, use_pallas=False, batch_size=64)
+    a2.decode_all_in_job(verbose=False)
+    means2 = np.loadtxt(out2 + ".perPairPosteriorMeans.gz")
+    np.testing.assert_allclose(means2, 2.0 * means, rtol=1e-4)

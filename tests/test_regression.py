@@ -68,7 +68,6 @@ def test_sequence_mode_oracle_vs_batched(repo_root):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_sequence_mode_pallas_interpret(repo_root):
     """Sequence mode through the Pallas kernels (interpret on CPU).
 
