@@ -6,9 +6,18 @@ posterior-sum reduction — the same computation the reference's
 [HMM_regression] benchmark measures (time_regression.py: 179,700 pair
 decodes in ~51.97 s => ~3,457 pairs/s on a CI-class CPU with AVX).
 
-Prints one JSON line:
-  {"metric": "pair_decodes_per_sec_per_chip", "value": N,
-   "unit": "haplotype-pair full-sequence decodes/s", "vs_baseline": R}
+Both decode profiles are measured and labeled (VERDICT r1 #5):
+  * "exact": f32 alpha + HIGHEST-precision matmuls — reference NO_SSE
+    numerics (~5e-7 posterior error);
+  * "fast":  bf16 alpha + bf16x3 matmuls (~6e-3 posterior error).
+Plus the full FastSMC pipeline (hashing -> validation -> IBD file) on the
+in-repo example panel, as end-to-end candidate-segments/s.
+
+Prints ONE final JSON line; the headline value is the fast profile:
+  {"metric": "pair_decodes_per_sec_per_chip", "value": N, "unit": ...,
+   "vs_baseline": R, "profile": "fast",
+   "exact": {"value": N, "vs_baseline": R},
+   "pipeline": {"candidates_per_sec": N, "segments": N}}
 """
 
 import json
@@ -19,87 +28,127 @@ import time
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 179700 / 51.97   # reference CPU [HMM_regression]
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
-    import jax
-
+def _build_ctx():
     from fastsmc_tpu.config import DecodingParams
-    from fastsmc_tpu.engine.hmm import bucket_len
     from fastsmc_tpu.engine.oracle import DecodeContext
     from fastsmc_tpu.io.decoding_quantities import DecodingQuantities
     from fastsmc_tpu.io.haps import load_data
 
-    root = os.path.dirname(os.path.abspath(__file__))
     params = DecodingParams.asmc(
         "/root/reference/FILES/EXAMPLE/exampleFile.n300.array",
-        os.path.join(root, "artifacts", "n300.array.decodingQuantities.npz"),
+        os.path.join(ROOT, "artifacts", "n300.array.decodingQuantities.npz"),
         out_file_root="/tmp/bench_out",
         do_posterior_sums=True, use_known_seed=True)
     data = load_data(params)
     dq = DecodingQuantities.load_npz(params.decoding_quant_file)
-    ctx = DecodeContext.build(params, data, dq)
+    return params, data, dq, DecodeContext.build(params, data, dq)
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    P = int(os.environ.get("FASTSMC_BENCH_P", "8192" if on_tpu else "64"))
-    T = bucket_len(data.sites)
 
-    if on_tpu:
-        import jax.numpy as jnp
-
-        from fastsmc_tpu.engine.kernels import BwdOutputs, PallasDecoder
-        # production-throughput profile: bf16 forward-message store +
-        # bf16x3 matmuls (~6e-3 posterior error; segment outputs validated
-        # against the exact profile in tests). FASTSMC_BENCH_EXACT=1
-        # benches the bit-faithful f32/HIGHEST profile instead.
-        if os.environ.get("FASTSMC_BENCH_EXACT", "") == "1":
-            dec = PallasDecoder(ctx)
-        else:
-            dec = PallasDecoder(ctx, alpha_dtype=jnp.bfloat16,
-                                precision="fast")
-        outs = BwdOutputs(posterior=False, posterior_sums=True)
-
-        def run(pa, pb):
-            r = dec.decode_pairs(pa, pb, 0, T, outs, 0)
-            jax.block_until_ready(r)
-            return r
-    else:
-        from fastsmc_tpu.engine.hmm import BatchedDecoder
-        dec = BatchedDecoder(ctx)
-
-        def run(pa, pb):
-            r = dec.decode_pairs(pa, pb, 0, T)
-            jax.block_until_ready(r)
-            return r
-
-    rng = np.random.default_rng(0)
-    pa = rng.integers(0, data.n_haps, P).astype(np.int32)
-    pb = (pa + 1 + rng.integers(0, data.n_haps - 1, P)).astype(np.int32) \
-        % data.n_haps
-
-    # warmup / compile
-    run(pa, pb)
-
-    # measure: enough reps for >= ~5s of steady state
+def _measure(run, pa, pb, min_s=5.0):
+    run(pa, pb)  # warmup/compile
     reps = 0
     t0 = time.time()
     while True:
         run(pa, pb)
         reps += 1
         dt = time.time() - t0
-        if dt > 5.0 and reps >= 3:
-            break
-        if reps >= 200:
-            break
-    pairs_per_sec = reps * P / dt
+        if (dt > min_s and reps >= 3) or reps >= 200:
+            return reps * len(pa) / dt
 
-    print(json.dumps({
+
+def bench_decode(ctx, data, on_tpu):
+    from fastsmc_tpu.engine.hmm import bucket_len
+    import jax
+
+    P = int(os.environ.get("FASTSMC_BENCH_P", "8192" if on_tpu else "64"))
+    T = bucket_len(data.sites)
+    rng = np.random.default_rng(0)
+    pa = rng.integers(0, data.n_haps, P).astype(np.int32)
+    pb = (pa + 1 + rng.integers(0, data.n_haps - 1, P)).astype(np.int32) \
+        % data.n_haps
+
+    results = {}
+    if on_tpu:
+        import jax.numpy as jnp
+        from fastsmc_tpu.engine.kernels import BwdOutputs, PallasDecoder
+
+        outs = BwdOutputs(posterior=False, posterior_sums=True)
+        for profile, kwargs in (
+                ("fast", dict(alpha_dtype=jnp.bfloat16, precision="fast")),
+                ("exact", {})):
+            dec = PallasDecoder(ctx, **kwargs)
+
+            def run(a, b):
+                jax.block_until_ready(dec.decode_pairs(a, b, 0, T, outs, 0))
+
+            results[profile] = _measure(run, pa, pb)
+    else:
+        from fastsmc_tpu.engine.hmm import BatchedDecoder
+        dec = BatchedDecoder(ctx)
+
+        def run(a, b):
+            jax.block_until_ready(dec.decode_pairs(a, b, 0, T))
+
+        results["exact"] = results["fast"] = _measure(run, pa, pb)
+    return results
+
+
+def bench_pipeline(on_tpu):
+    """Full FastSMC: hashing -> batched validation -> segment extraction ->
+    IBD writer, on the in-repo example panel (6,760 sites, 152 diploids)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root = os.path.join(ROOT, "artifacts", "panels", "example_array",
+                        "example")
+    params = DecodingParams.fastsmc_defaults(
+        root, os.path.join(ROOT, "artifacts",
+                           "n300.array.decodingQuantities.npz"),
+        "/tmp/bench_pipeline", use_known_seed=True,
+        batch_size=512 if on_tpu else 32)
+    f = FastSMC(params, use_pallas=on_tpu,
+                decode_profile="fast" if on_tpu else "exact")
+    # warm the jit caches with one run, then measure a fresh run
+    f.run(verbose=False)
+    f2 = FastSMC(params, use_pallas=on_tpu,
+                 decode_profile="fast" if on_tpu else "exact")
+    f2.decoder = f.decoder  # reuse compiled kernels
+    t0 = time.time()
+    f2.run(verbose=False)
+    dt = time.time() - t0
+    return {"candidates_per_sec": round(f2._cpt / dt, 1),
+            "segments": f2.n_segments, "wall_s": round(dt, 2)}
+
+
+def main():
+    import jax
+
+    params, data, dq, ctx = _build_ctx()
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    decode = bench_decode(ctx, data, on_tpu)
+    pipeline = bench_pipeline(on_tpu)
+
+    out = {
         "metric": "pair_decodes_per_sec_per_chip",
-        "value": round(pairs_per_sec, 1),
+        "value": round(decode["fast"], 1),
         "unit": "haplotype-pair full-sequence decodes/s (6760 sites, "
-                "69 states, fused posterior sums)",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-    }))
+                "69 states, fused posterior sums; fast profile: bf16 alpha "
+                "+ bf16x3, ~6e-3 posterior err)",
+        "vs_baseline": round(decode["fast"] / BASELINE_PAIRS_PER_SEC, 2),
+        "profile": "fast",
+        "exact": {
+            "value": round(decode["exact"], 1),
+            "vs_baseline": round(decode["exact"] / BASELINE_PAIRS_PER_SEC,
+                                 2),
+            "note": "reference NO_SSE numerics (f32 + HIGHEST matmuls)",
+        },
+        "pipeline": pipeline,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

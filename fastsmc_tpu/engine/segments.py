@@ -67,6 +67,42 @@ def levels_from_sums(sums: np.ndarray, prob_threshold: float) -> np.ndarray:
     return lvl
 
 
+def extract_runs(sums: np.ndarray, prob_threshold: float
+                 ) -> tuple:
+    """Vectorised run detection over the whole batch at once.
+
+    ``sums`` is the device-reduced [T, P] threshold-sum matrix; no per-pair
+    Python loop — boundaries come from one boolean diff over the batch
+    (the cumsum-over-break-flags formulation, cf. hashing/vectorized.py).
+
+    Returns (pair, start, end, score) arrays, ordered pair-major then by
+    start (the reference's emission order, HMM.cpp:1179-1357); runs at
+    level 4 (below every threshold) are dropped.
+    """
+    T, P = sums.shape
+    lvl = levels_from_sums(sums, prob_threshold)
+    lv = lvl.T                                         # [P, T]
+    chg = np.empty((P, T), dtype=bool)
+    chg[:, 0] = True
+    np.not_equal(lv[:, 1:], lv[:, :-1], out=chg[:, 1:])
+    flat = np.flatnonzero(chg.reshape(-1))
+    pair = flat // T
+    a = flat % T
+    b = np.empty_like(a)
+    if len(a):
+        b[:-1] = np.where(pair[1:] == pair[:-1], a[1:] - 1, T - 1)
+        b[-1] = T - 1
+    keep = lv[pair, a] != 4
+    pair, a, b = pair[keep], a[keep], b[keep]
+    # run scores via prefix sums (float64: differencing error ~1e-13 on
+    # posteriors <= 1, far below the float32 data)
+    cs = np.empty((T + 1, P), np.float64)
+    cs[0] = 0.0
+    np.cumsum(sums, axis=0, dtype=np.float64, out=cs[1:])
+    score = cs[b + 1, pair] - cs[a, pair]
+    return pair, a, b, score
+
+
 def extract_segments(
         sums: np.ndarray,                     # [T, P] threshold sums
         prob_threshold: float,
@@ -76,26 +112,17 @@ def extract_segments(
         ) -> List[Segment]:
     """Extract segments for a batch window.  Positions in the output are
     absolute (``from_pos`` added)."""
-    T, P = sums.shape
-    lvl = levels_from_sums(sums, prob_threshold)
-    out: List[Segment] = []
+    pair, a, b, score = extract_runs(sums, prob_threshold)
     want_pps = posterior is not None
-    for p in range(P):
-        col = lvl[:, p]
-        # run boundaries
-        change = np.flatnonzero(col[1:] != col[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change - 1, [T - 1]])
-        for a, b in zip(starts, ends):
-            if col[a] == 4:
-                continue
-            score = float(sums[a:b + 1, p].sum(dtype=np.float64))
-            pps = None
-            if want_pps:
-                pps = posterior[a:b + 1, :age_threshold, p].sum(axis=0)
-            out.append(Segment(pair=p, start=from_pos + int(a),
-                               end=from_pos + int(b), score_sum=score,
-                               pps=pps))
+    out: List[Segment] = []
+    for i in range(len(pair)):
+        pps = None
+        if want_pps:
+            pps = posterior[a[i]:b[i] + 1, :age_threshold,
+                            pair[i]].sum(axis=0)
+        out.append(Segment(pair=int(pair[i]), start=from_pos + int(a[i]),
+                           end=from_pos + int(b[i]),
+                           score_sum=float(score[i]), pps=pps))
     return out
 
 

@@ -9,10 +9,17 @@ multi-host jobs (the ``jobs``/``job_ind`` window math is preserved in
 
   * the candidate-pair batch axis is sharded over the mesh ("pairs" axis)
     with ``shard_map`` — each chip decodes its slice of pairs with the same
-    replicated model tables;
-  * sum-over-pairs accumulators are combined with ``psum`` over ICI;
-  * per-pair outputs (segment levels, means, MAPs) stay sharded and are
-    gathered on host at write time.
+    replicated model tables, running the production Pallas kernels per chip
+    on TPU (``BatchedDecoder`` on CPU meshes);
+  * over-pairs accumulators (posterior sums, major/minor sums) are combined
+    with ``psum`` over ICI and come back replicated;
+  * per-pair outputs (posterior, threshold sums, means, MAPs) keep the pair
+    axis sharded and are gathered on host only at write time.
+
+:class:`ShardedDecoder` is interface-compatible with
+:class:`fastsmc_tpu.engine.kernels.PallasDecoder` (``decode_pairs`` with
+``BwdOutputs``), so ``FastSMC(..., mesh=...)`` / ``ASMC(..., mesh=...)``
+drop it into the production pipelines unchanged.
 
 On a single host this also validates on the 8-device virtual CPU mesh.
 """
@@ -20,7 +27,7 @@ On a single host this also validates on the 8-device virtual CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +40,7 @@ except AttributeError:
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..engine.hmm import BatchedDecoder, bucket_len
+from ..engine.kernels import BwdOutputs, PallasDecoder
 from ..engine.oracle import DecodeContext
 
 
@@ -44,68 +52,175 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
-class ShardedDecoder:
-    """Pair-parallel decoding over a mesh.
+# out_specs builders per BwdOutputs field: which outputs keep the pair axis
+# sharded vs come back replicated after a psum over the mesh
+_SUM_OUTPUTS = frozenset({"posterior_sums", "major_minor_sums"})
 
-    Wraps :class:`BatchedDecoder` (portable across backends; the Pallas
-    kernels slot in per-chip on TPU meshes) with shard_map over the pair
+
+class ShardedDecoder:
+    """Pair-parallel decoding over a mesh (production engine).
+
+    Wraps the per-chip engine — :class:`PallasDecoder` on TPU backends,
+    :class:`BatchedDecoder` elsewhere — with ``shard_map`` over the pair
     axis.  The global pair batch size must be a multiple of the mesh size.
+
+    ``decode_pairs(hap_a, hap_b, t0, t_len, outputs, state_threshold)``
+    matches :class:`PallasDecoder` exactly: it returns a dict of the
+    requested :class:`BwdOutputs` with over-pairs sums ``psum``-combined
+    (replicated) and per-pair outputs left sharded over the mesh.
     """
 
     def __init__(self, ctx: DecodeContext, mesh: Mesh,
-                 axis_name: str = "pairs"):
+                 axis_name: str = "pairs",
+                 use_pallas: Optional[bool] = None,
+                 decode_profile: str = "exact"):
         self.ctx = ctx
         self.mesh = mesh
         self.axis = axis_name
-        self.dec = BatchedDecoder(ctx)
+        self.n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self._use_pallas = use_pallas
+        if use_pallas:
+            from ..pipelines.asmc import _profile_kwargs
+            self.dec = PallasDecoder(ctx, **_profile_kwargs(decode_profile))
+        else:
+            self.dec = BatchedDecoder(ctx)
         self.L = ctx.data.sites
         self.K = ctx.dq.states
 
-    # ------------------------------------------------------------------
-    def _local_decode(self, ha, hb, t0: int, t_len: int):
-        """Per-device decode of the local pair shard -> posterior [T, K, p]."""
-        return self.dec._decode_jit(ha, hb, t0, t_len)
+    # expected-times override forwards to the inner engine (the fused
+    # per_pair_mean reduction and the CPU emulation both read it)
+    @property
+    def exp_times(self):
+        return self.dec.exp_times
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def posterior_sums(self, hap_a, hap_b, t0: int, t_len: int):
-        """Sum-over-pairs [T, K] across the whole mesh (psum over ICI)."""
+    @exp_times.setter
+    def exp_times(self, value):
+        self.dec.exp_times = value
+
+    # ------------------------------------------------------------------
+    def _emulated_outputs(self, post, ha, hb, t0: int, t_len: int,
+                          outs: BwdOutputs, state_threshold: int) -> dict:
+        """Build the BwdOutputs dict from a full posterior [T, K, p]
+        (BatchedDecoder path — mirrors the fused Pallas reductions)."""
+        r = {}
+        if outs.posterior:
+            r["posterior"] = post
+        if outs.posterior_sums:
+            r["posterior_sums"] = jnp.sum(post, axis=2)
+        if outs.per_pair_mean:
+            expt = self.dec.exp_times
+            expt = expt.reshape(-1)[:self.K]
+            r["per_pair_mean"] = jnp.einsum("tkp,k->tp", post, expt)
+        if outs.per_pair_map:
+            r["per_pair_map"] = jnp.argmax(post, axis=1).astype(jnp.float32)
+        if outs.threshold_sums:
+            r["threshold_sums"] = jnp.sum(post[:, :state_threshold, :],
+                                          axis=1)
+        if outs.major_minor_sums:
+            L = self.L
+            real = min(t_len, L - t0)
+            a = self.dec.hap_bits[ha][:, t0:t0 + real]
+            b = self.dec.hap_bits[hb][:, t0:t0 + real]
+            xor = (a ^ b).astype(jnp.float32)
+            hom = (a & b).astype(jnp.float32)
+            pad = t_len - real
+            if pad:
+                xor = jnp.pad(xor, ((0, 0), (0, pad)), constant_values=1.0)
+                hom = jnp.pad(hom, ((0, 0), (0, pad)), constant_values=0.0)
+            oz = (1.0 - xor).T                      # [T, p]
+            oh = hom.T
+            w00 = oz * (1.0 - oh)
+            w01 = 1.0 - oz
+            w11 = oh
+            r["major_minor_sums"] = jnp.stack(
+                [jnp.einsum("tkp,tp->tk", post, w)
+                 for w in (w00, w01, w11)], axis=1)   # [T, 3, K]
+        return r
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    def _decode_sharded(self, hap_a, hap_b, t0: int, t_len: int,
+                        outs: BwdOutputs, state_threshold: int):
         axis = self.axis
 
         def local(ha, hb):
-            post = self._local_decode(ha, hb, t0, t_len)
-            return jax.lax.psum(jnp.sum(post, axis=2), axis)
+            if self._use_pallas:
+                r = self.dec._decode_jit(ha, hb, jnp.asarray(t0, jnp.int32),
+                                         t_len, outs, state_threshold)
+            else:
+                post = self.dec._decode_jit(ha, hb, t0, t_len)
+                r = self._emulated_outputs(post, ha, hb, t0, t_len, outs,
+                                           state_threshold)
+            return {k: (jax.lax.psum(v, axis) if k in _SUM_OUTPUTS else v)
+                    for k, v in r.items()}
 
-        f = shard_map(local, mesh=self.mesh,
-                      in_specs=(P(axis), P(axis)),
-                      out_specs=P())
+        out_specs = {}
+        for name in outs._fields:
+            if not getattr(outs, name):
+                continue
+            if name in _SUM_OUTPUTS:
+                out_specs[name] = P()
+            elif name == "posterior":
+                out_specs[name] = P(None, None, axis)
+            else:  # [T, P] per-pair reductions
+                out_specs[name] = P(None, axis)
+
+        # pallas_call inside shard_map cannot express varying-mesh-axes
+        # metadata on its output avals; disable the vma/replication check
+        # (the out_specs above state the sharding explicitly)
+        try:
+            f = shard_map(local, mesh=self.mesh,
+                          in_specs=(P(axis), P(axis)),
+                          out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            f = shard_map(local, mesh=self.mesh,
+                          in_specs=(P(axis), P(axis)),
+                          out_specs=out_specs, check_rep=False)
         return f(hap_a, hap_b)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def decode_pairs(self, hap_a, hap_b, t0: int = 0,
+                     t_len: Optional[int] = None,
+                     outputs: BwdOutputs = BwdOutputs(),
+                     state_threshold: int = 0) -> dict:
+        """Decode a global batch of hap pairs over [t0, t0+t_len), sharded
+        over the mesh. Same contract as ``PallasDecoder.decode_pairs``."""
+        t_len = self.L - t0 if t_len is None else t_len
+        P_global = int(np.shape(hap_a)[0])
+        if P_global % self.n_devices != 0:
+            raise ValueError(
+                f"global pair batch {P_global} is not divisible by mesh "
+                f"size {self.n_devices}")
+        return self._decode_sharded(jnp.asarray(hap_a), jnp.asarray(hap_b),
+                                    int(t0), int(t_len), outputs,
+                                    int(state_threshold))
+
+    # ------------------------------------------------------------------
+    # convenience wrappers kept for the library surface / tests
+    # ------------------------------------------------------------------
+    def posterior_sums(self, hap_a, hap_b, t0: int, t_len: int):
+        """Sum-over-pairs [T, K] across the whole mesh (psum over ICI)."""
+        r = self.decode_pairs(hap_a, hap_b, t0, t_len,
+                              BwdOutputs(posterior=False,
+                                         posterior_sums=True), 0)
+        return r["posterior_sums"][:, :self.K]
+
     def per_pair_outputs(self, hap_a, hap_b, t0: int, t_len: int,
                          state_threshold: int):
         """Sharded per-pair reductions: (threshold_sums [T, Pglobal],
         posterior_mean [T, Pglobal]) with the pair axis left sharded."""
-        axis = self.axis
-        expt = jnp.asarray(self.ctx.dq.expected_times)
-
-        def local(ha, hb):
-            post = self._local_decode(ha, hb, t0, t_len)
-            th = jnp.sum(post[:, :state_threshold, :], axis=1)
-            mean = jnp.einsum("tkp,k->tp", post, expt)
-            return th, mean
-
-        f = shard_map(local, mesh=self.mesh,
-                      in_specs=(P(axis), P(axis)),
-                      out_specs=(P(None, axis), P(None, axis)))
-        return f(hap_a, hap_b)
+        r = self.decode_pairs(hap_a, hap_b, t0, t_len,
+                              BwdOutputs(posterior=False, per_pair_mean=True,
+                                         threshold_sums=True),
+                              state_threshold)
+        return r["threshold_sums"], r["per_pair_mean"]
 
 
 def training_step(ctx: DecodeContext, mesh: Mesh):
     """Build the canonical multi-chip step: jitted, shard_map'ed full
     decode + reduction over the mesh. Returns (fn, example_args)."""
     sd = ShardedDecoder(ctx, mesh)
-    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    P_global = 2 * n
+    P_global = 2 * sd.n_devices
     rng = np.random.default_rng(0)
     ha = rng.integers(0, ctx.data.n_haps, P_global).astype(np.int32)
     hb = (ha + 1) % ctx.data.n_haps

@@ -92,10 +92,14 @@ class ASMC:
                  dq: Optional[DecodingQuantities] = None,
                  use_pallas: Optional[bool] = None,
                  batch_size: Optional[int] = None,
-                 decode_profile: str = "exact"):
+                 decode_profile: str = "exact",
+                 mesh=None):
         """decode_profile: "exact" (f32/HIGHEST matmuls, reference NO_SSE
         numerics) or "fast" (bf16 forward-message store + bf16x3 matmuls,
-        ~6e-3 posterior error, ~2.5x decode throughput)."""
+        ~6e-3 posterior error, ~2.5x decode throughput).
+        mesh: a ``jax.sharding.Mesh`` to shard each pair batch over
+        (pair-parallel over chips, psum'd sums; per-chip Pallas kernels
+        on TPU). The batch size must be a multiple of the mesh size."""
         self.params = params
         self.data = data if data is not None else load_data(params)
         self.dq = dq if dq is not None else DecodingQuantities.load(
@@ -104,11 +108,25 @@ class ASMC:
         self.batch_size = batch_size or max(params.batch_size, 64)
         if params.no_batches:
             use_pallas = False
+            mesh = None
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
-        self._use_pallas = use_pallas
-        if use_pallas:
+        # "fused" decoders return the BwdOutputs dict (reductions computed
+        # on device); the plain paths return the full posterior
+        self._fused = bool(use_pallas or mesh is not None)
+        if mesh is not None:
+            from ..engine.kernels import BwdOutputs
+            from ..parallel.sharding import ShardedDecoder
+            self.decoder = ShardedDecoder(self.ctx, mesh,
+                                          use_pallas=use_pallas,
+                                          decode_profile=decode_profile)
+            if self.batch_size % self.decoder.n_devices != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must be a multiple of "
+                    f"the mesh size {self.decoder.n_devices}")
+            self._outs_cls = BwdOutputs
+        elif use_pallas:
             from ..engine.kernels import PallasDecoder, BwdOutputs
             self.decoder = PallasDecoder(self.ctx,
                                          **_profile_kwargs(decode_profile))
@@ -136,13 +154,14 @@ class ASMC:
                     raise ValueError(
                         f"{ect_file} has {len(self.expected_coal_times)} "
                         f"times, expected {self.dq.states}")
-                if use_pallas:
+                if self._fused:
                     # the fused per_pair_mean reduction reads the decoder's
-                    # expected-times row; swap in the file's values
-                    from ..engine.kernels import KC
-                    e = np.zeros((1, KC), np.float32)
-                    e[0, :self.dq.states] = self.expected_coal_times
+                    # expected-times row ([K] on the XLA engine, [1, KC]
+                    # padded on Pallas); swap in the file's values
                     import jax.numpy as jnp
+                    cur = np.asarray(self.decoder.exp_times)
+                    e = np.zeros_like(cur)
+                    e.reshape(-1)[:self.dq.states] = self.expected_coal_times
                     self.decoder.exp_times = jnp.asarray(e)
 
     # ------------------------------------------------------------------
@@ -236,7 +255,7 @@ class ASMC:
             if n < bs:
                 h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])
                 h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
-            if self._use_pallas:
+            if self._fused:
                 outs = self._outs_cls(
                     posterior=False,
                     posterior_sums=p.do_posterior_sums,
@@ -371,11 +390,19 @@ class ASMC:
             site_was_flipped=self.data.site_was_flipped)
 
     def _full_posterior(self, h1, h2, t_len, t0_pos: int = 0) -> np.ndarray:
-        if self._use_pallas:
+        n = len(h1)
+        # a sharded decoder needs the pair axis divisible by the mesh
+        nd = getattr(self.decoder, "n_devices", 1)
+        if n % nd != 0:
+            fill = nd - n % nd
+            h1 = np.concatenate([h1, np.full(fill, h1[-1], h1.dtype)])
+            h2 = np.concatenate([h2, np.full(fill, h2[-1], h2.dtype)])
+        if self._fused:
             outs = self._outs_cls(posterior=True)
             r = self.decoder.decode_pairs(h1, h2, t0_pos, t_len, outs, 0)
-            return np.asarray(r["posterior"])
-        return np.asarray(self.decoder.decode_pairs(h1, h2, t0_pos, t_len))
+            return np.asarray(r["posterior"])[:, :, :n]
+        return np.asarray(
+            self.decoder.decode_pairs(h1, h2, t0_pos, t_len))[:, :, :n]
 
     # ------------------------------------------------------------------
     def write_outputs(self, result: DecodingReturnValues) -> None:

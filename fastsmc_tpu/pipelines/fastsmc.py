@@ -69,13 +69,17 @@ class FastSMC:
                  dq: Optional[DecodingQuantities] = None,
                  use_pallas: Optional[bool] = None,
                  hashing_backend: str = "host",
-                 decode_profile: str = "exact"):
+                 decode_profile: str = "exact",
+                 mesh=None):
         """hashing_backend: "host" (streaming scan; native C++ when built,
         Python otherwise) or "device" (sort-based XLA scan,
         hashing/vectorized.py; falls back to host when max_seeds > 0).
         decode_profile: "exact" (reference NO_SSE numerics) or "fast"
         (bf16 alpha + bf16x3 matmuls, ~6e-3 posterior error, ~2.5x
-        decode throughput)."""
+        decode throughput).
+        mesh: a ``jax.sharding.Mesh`` to shard each validation batch over
+        (pair-parallel over chips; per-chip Pallas kernels on TPU). The
+        batch size must be a multiple of the mesh size."""
         params.fastsmc = True
         if hashing_backend not in ("host", "device"):
             raise ValueError(f"unknown hashing backend {hashing_backend!r}")
@@ -88,7 +92,18 @@ class FastSMC:
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
-        if use_pallas:
+        if mesh is not None:
+            from ..engine.kernels import BwdOutputs
+            from ..parallel.sharding import ShardedDecoder
+            self.decoder = ShardedDecoder(self.ctx, mesh,
+                                          use_pallas=use_pallas,
+                                          decode_profile=decode_profile)
+            if params.batch_size % self.decoder.n_devices != 0:
+                raise ValueError(
+                    f"batch_size {params.batch_size} must be a multiple of "
+                    f"the mesh size {self.decoder.n_devices}")
+            self._bwd_outputs_cls = BwdOutputs
+        elif use_pallas:
             from ..engine.kernels import PallasDecoder, BwdOutputs
 
             from .asmc import _profile_kwargs

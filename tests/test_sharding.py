@@ -126,3 +126,71 @@ def test_multihost_fastsmc_tiles_cover_single_job(synthetic_panel_root):
     merged = merge_ibd_outputs(paths, str(tmp / "merged.ibd.gz"))
     assert pair_ids(merged) == single_ids
     assert len(single_ids) > 0
+
+
+def test_fastsmc_mesh_pipeline_matches_single_device(synthetic_panel_root):
+    """The production FastSMC pipeline with mesh=N produces byte-identical
+    IBD output to the single-device run (per-pair math is independent of
+    how the batch is sharded)."""
+    import gzip
+
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.parallel.sharding import make_mesh
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, dq_path, tmp = synthetic_panel_root
+
+    def run(tag, mesh):
+        p = DecodingParams.fastsmc_defaults(
+            root, dq_path, str(tmp / tag), use_known_seed=True, min_m=0.5,
+            batch_size=16)
+        path = FastSMC(p, use_pallas=False, mesh=mesh).run(verbose=False)
+        with gzip.open(path, "rt") as fh:
+            return fh.read()
+
+    single = run("sd_single", None)
+    sharded = run("sd_mesh", make_mesh(4))
+    assert sharded == single
+    assert single.count("\n") > 0
+
+
+def test_asmc_mesh_decode_all_matches_single_device(synthetic_panel_root):
+    """ASMC decode_all_in_job over a mesh: psum'd posterior sums and the
+    sharded per-pair output files match the single-device run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.parallel.sharding import make_mesh
+    from fastsmc_tpu.pipelines.asmc import ASMC
+
+    root, dq_path, tmp = synthetic_panel_root
+
+    from fastsmc_tpu.io.haps import load_data
+
+    def run(tag, mesh):
+        p = DecodingParams.asmc(
+            root, dq_path, str(tmp / tag), do_posterior_sums=True,
+            do_per_pair_posterior_mean=True, do_per_pair_map=True,
+            within_only=True, use_known_seed=True, fastsmc=True)
+        # fastsmc=True selects the FastSMC 3-col map format at load time;
+        # per-pair file streaming is a non-FastSMC feature, so flip the
+        # flag after loading
+        data = load_data(p)
+        p.fastsmc = False
+        a = ASMC(p, data=data, use_pallas=False, batch_size=64, mesh=mesh)
+        res = a.decode_all_in_job(verbose=False)
+        means = np.loadtxt(str(tmp / tag) + ".perPairPosteriorMeans.gz")
+        maps = np.loadtxt(str(tmp / tag) + ".perPairMAP.gz")
+        return res.sum_over_pairs, means, maps
+
+    s1, m1, mp1 = run("asmc_single", None)
+    s2, m2, mp2 = run("asmc_mesh", make_mesh(4))
+    np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(m2, m1, rtol=1e-5)
+    # MAP argmax can flip at exact posterior near-ties (1-ulp differences
+    # between XLA fusion choices inside vs outside shard_map)
+    assert (mp2 != mp1).mean() < 1e-3
