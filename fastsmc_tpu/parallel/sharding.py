@@ -45,8 +45,12 @@ from ..engine.oracle import DecodeContext
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_name: str = "pairs") -> Mesh:
-    devs = jax.devices()
+              axis_name: str = "pairs",
+              devices=None) -> Mesh:
+    """1-D pair-parallel mesh. ``devices`` overrides the pool (e.g.
+    ``jax.local_devices()`` for the per-host mesh in a multi-process run,
+    where each host decodes its own job tiles — parallel/multihost.py)."""
+    devs = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
