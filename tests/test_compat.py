@@ -137,3 +137,134 @@ def test_preparedecoding_submodule(asmc_mod, repo_root, tmp_path):
     assert (tmp_path / "model.intervalsInfo").read_text().count("\n") == 69
     assert dq.states == 69  # passthrough
     assert asmc_mod.preparedecoding is pdec
+
+
+# ---------------------------------------------------------------------------
+# round 2: full pybind surface (Data / DecodingQuantities members / HMM /
+# Individual / PairObservations / ctor overloads, pybind.cpp:89-230)
+# ---------------------------------------------------------------------------
+
+N300 = "/root/reference/FILES/EXAMPLE/exampleFile.n300.array"
+
+
+@pytest.fixture(scope="module")
+def compat_params(asmc_mod, repo_root):
+    return asmc_mod.DecodingParams(
+        N300, str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz"),
+        "/tmp/compat_hmm", doPosteriorSums=True)
+
+
+@pytest.fixture(scope="module")
+def compat_data(asmc_mod, compat_params):
+    return asmc_mod.Data(compat_params)
+
+
+def test_decoding_params_pybind_ctor(asmc_mod):
+    # positional per the reference 18-arg ctor order (pybind.cpp:121-141)
+    p = asmc_mod.DecodingParams("in", "dq", "out", 4, 2, "array")
+    assert p.inFileRoot == "in" and p.jobs == 4 and p.jobInd == 2
+    # mixing keywords
+    p2 = asmc_mod.DecodingParams("in", "dq", doPosteriorSums=True,
+                                 withinOnly=True)
+    assert p2.doPosteriorSums and p2.withinOnly
+    with pytest.raises(TypeError):
+        asmc_mod.DecodingParams("in", "dq", bogusArgument=1)
+    # FastSMC overload requires the flag (DecodingParams.cpp:65-70)
+    with pytest.raises(RuntimeError):
+        asmc_mod.DecodingParams(in_dir="a", decoding_quants="b",
+                                out_dir="c", FastSMC=False)
+
+
+def test_individual_set_genotype(asmc_mod):
+    ind = asmc_mod.Individual(8)
+    ind.setGenotype(1, 3, True)
+    ind.setGenotype(2, 5, 1)
+    assert ind.genotype1[3] and ind.genotype2[5]
+    assert not ind.genotype1[5] and not ind.genotype2[3]
+    with pytest.raises(ValueError):
+        ind.setGenotype(3, 0, True)
+
+
+def test_data_surface(asmc_mod, compat_data, n300_data):
+    d = compat_data
+    assert d.sites == n300_data.sites
+    assert d.sampleSize == n300_data.sample_size
+    assert d.haploidSampleSize == n300_data.n_haps
+    assert len(d.FamIDList) == len(d.IIDList) == n300_data.n_ind
+    assert d.famAndIndNameList[0] == \
+        f"{d.FamIDList[0]}\t{d.IIDList[0]}"
+    np.testing.assert_array_equal(d.geneticPositions,
+                                  n300_data.genetic_positions)
+    np.testing.assert_array_equal(d.physicalPositions,
+                                  n300_data.physical_positions)
+    ind0 = d.individuals[0]
+    np.testing.assert_array_equal(ind0.genotype1,
+                                  n300_data.hap_bits[0].astype(bool))
+    np.testing.assert_array_equal(ind0.genotype2,
+                                  n300_data.hap_bits[1].astype(bool))
+    assert asmc_mod.Data.countHapLines(N300) == n300_data.sites
+
+
+def test_decoding_quantities_member_views(asmc_mod, repo_root):
+    dq = asmc_mod.DecodingQuantities(
+        str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz"))
+    n = dq._native
+    assert dq.CSFSSamples == n.csfs_samples
+    assert len(dq.initialStateProb) == dq.states
+    assert len(dq.expectedTimes) == dq.states
+    assert len(dq.columnRatios) == dq.states
+    assert dq.classicEmissionTable.shape == (2, dq.states)
+    dv = dq.Dvectors
+    assert len(dv) == len(n.gen_dists)
+    key = float(n.gen_dists[3])
+    np.testing.assert_array_equal(dv[key], n.D[3])
+    np.testing.assert_array_equal(dq.Bvectors[key], n.B[3])
+    np.testing.assert_array_equal(dq.Uvectors[key], n.U[3])
+    np.testing.assert_array_equal(dq.rowRatioVectors[key], n.RR[3])
+    hm = dq.homozygousEmissionMap
+    pk = int(n.phys_dists[1])
+    np.testing.assert_array_equal(hm[pk], n.homozygous_emissions[1])
+    assert dq.CSFSmap.shape[1:] == (3, dq.states)
+    assert dq.foldedCSFSmap.shape[1:] == (2, dq.states)
+
+
+@pytest.fixture(scope="module")
+def hmm(asmc_mod, compat_data, compat_params):
+    return asmc_mod.HMM(compat_data, compat_params)
+
+
+def test_hmm_make_pair_obs_and_decode(hmm, n300_ctx):
+    obs = hmm.makePairObs(1, 0, 2, 3)       # haps 0 and 7
+    want_obs, want_hom = n300_ctx.pair_observations(0, 7)
+    np.testing.assert_array_equal(obs.obsBits, want_obs)
+    np.testing.assert_array_equal(obs.homMinorBits, want_hom)
+
+    from fastsmc_tpu.engine.oracle import decode_pair
+    post = hmm.decode(obs, 1000, 1128)                 # [K, 128]
+    ref = decode_pair(n300_ctx, 0, 7, 1000, 1128)      # [K, 128]
+    np.testing.assert_allclose(post, ref, atol=2e-4)
+
+    pmap, pmean = hmm.decodeSummarize(obs)
+    assert pmap.shape == pmean.shape == (hmm._data.sites,)
+    assert np.all(pmean > 0)
+
+
+def test_hmm_batched_pair_decoding(asmc_mod, compat_data, compat_params):
+    hmm = asmc_mod.HMM(compat_data, compat_params)
+    hmm.decodePairs([0, 2], [1, 2])
+    # 0!=1 contributes 4 hap combos; 2==2 contributes 1 (HMM.cpp:413-440)
+    assert len(hmm.getBatchBuffer()) == 5
+    hmm.finishDecoding()
+    assert len(hmm.getBatchBuffer()) == 0
+    rv = hmm.getDecodingReturnValues()
+    sums = np.asarray(rv.sumOverPairs)
+    # 5 normalized posteriors summed -> each row sums to ~5
+    np.testing.assert_allclose(sums.sum(axis=1), 5.0, atol=1e-3)
+    assert rv.sites == compat_data.sites
+
+
+def test_hmm_state_threshold(hmm):
+    t = hmm.getStateThreshold()
+    disc = hmm._dq.discretization
+    assert disc[t] >= hmm._params.time
+    assert t == 0 or disc[t - 1] < hmm._params.time
