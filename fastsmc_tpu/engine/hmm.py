@@ -198,8 +198,10 @@ class BatchedDecoder:
         return post
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _decode_jit(self, hap_a, hap_b, t0: int, t_len: int):
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def _decode_jit(self, hap_bits, hap_a, hap_b, t0: int, t_len: int):
+        # hap_bits is a runtime argument so the compiled program stays
+        # panel-size independent (see PallasDecoder._decode_jit)
         real, pad, pad_ops, scale_mask = self._window_meta(t0, t_len)
         ops = pad_ops(self.gap_op)
 
@@ -229,8 +231,8 @@ class BatchedDecoder:
                     [hem_sl, jnp.ones((pad, self.K), jnp.float32)], axis=0)
             seq_meta = (sop, sop_b, rop, hem_sl)
 
-        a = self.hap_bits[hap_a][:, t0:t0 + real]   # [P, real]
-        b = self.hap_bits[hap_b][:, t0:t0 + real]
+        a = hap_bits[hap_a][:, t0:t0 + real]   # [P, real]
+        b = hap_bits[hap_b][:, t0:t0 + real]
         xor = (a ^ b).astype(jnp.float32)
         hom = (a & b).astype(jnp.float32)
         if pad:
@@ -248,7 +250,8 @@ class BatchedDecoder:
         ``t_len`` should come from :func:`bucket_len` to bound recompiles.
         """
         t_len = self.L - t0 if t_len is None else t_len
-        return self._decode_jit(jnp.asarray(hap_a), jnp.asarray(hap_b),
+        return self._decode_jit(self.hap_bits,
+                                jnp.asarray(hap_a), jnp.asarray(hap_b),
                                 int(t0), int(t_len))
 
 

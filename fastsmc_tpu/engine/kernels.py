@@ -382,11 +382,14 @@ class PallasDecoder:
         return 1
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
-    def _decode_jit(self, hap_a, hap_b, t0, t_len: int,
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _decode_jit(self, hap_bits, hap_a, hap_b, t0, t_len: int,
                     outs: BwdOutputs, state_threshold: int):
         """t0 is a traced scalar so arbitrary decode windows share one
-        compilation per (P, t_len) bucket."""
+        compilation per (P, t_len) bucket. hap_bits is a runtime argument
+        (not a closed-over constant) so the compiled program stays
+        panel-size independent — biobank panels are ~GB and would otherwise
+        be serialized into every compile payload."""
         K, L, P = self.K, self.L, hap_a.shape[0]
         T = t_len
         t0 = jnp.asarray(t0, jnp.int32)
@@ -399,8 +402,8 @@ class PallasDecoder:
         site_idx_c = jnp.minimum(site_idx, L - 1)
 
         # --- observations [T, 2, P]; padded tail -> oz=1, oh=0 -------------
-        a = jnp.take(self.hap_bits[hap_a], site_idx_c, axis=1)  # [P, T]
-        b = jnp.take(self.hap_bits[hap_b], site_idx_c, axis=1)
+        a = jnp.take(hap_bits[hap_a], site_idx_c, axis=1)  # [P, T]
+        b = jnp.take(hap_bits[hap_b], site_idx_c, axis=1)
         xor = jnp.where(valid[None, :], (a ^ b).astype(jnp.float32), 0.0)
         hom = jnp.where(valid[None, :], (a & b).astype(jnp.float32), 0.0)
         obs = jnp.stack([1.0 - xor.T, hom.T], axis=1)   # [T, 2, P]
@@ -634,6 +637,7 @@ class PallasDecoder:
           threshold_sums  [T, P]     (sum_{k < state_threshold} posterior)
         """
         t_len = self.L - t0 if t_len is None else t_len
-        return self._decode_jit(jnp.asarray(hap_a), jnp.asarray(hap_b),
+        return self._decode_jit(self.hap_bits,
+                                jnp.asarray(hap_a), jnp.asarray(hap_b),
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))

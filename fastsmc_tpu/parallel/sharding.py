@@ -104,7 +104,7 @@ class ShardedDecoder:
         self.dec.exp_times = value
 
     # ------------------------------------------------------------------
-    def _emulated_outputs(self, post, ha, hb, t0: int, t_len: int,
+    def _emulated_outputs(self, post, hap_bits, ha, hb, t0: int, t_len: int,
                           outs: BwdOutputs, state_threshold: int) -> dict:
         """Build the BwdOutputs dict from a full posterior [T, K, p]
         (BatchedDecoder path — mirrors the fused Pallas reductions)."""
@@ -125,8 +125,8 @@ class ShardedDecoder:
         if outs.major_minor_sums:
             L = self.L
             real = min(t_len, L - t0)
-            a = self.dec.hap_bits[ha][:, t0:t0 + real]
-            b = self.dec.hap_bits[hb][:, t0:t0 + real]
+            a = hap_bits[ha][:, t0:t0 + real]
+            b = hap_bits[hb][:, t0:t0 + real]
             xor = (a ^ b).astype(jnp.float32)
             hom = (a & b).astype(jnp.float32)
             pad = t_len - real
@@ -143,19 +143,20 @@ class ShardedDecoder:
                  for w in (w00, w01, w11)], axis=1)   # [T, 3, K]
         return r
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
-    def _decode_sharded(self, hap_a, hap_b, t0: int, t_len: int,
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+    def _decode_sharded(self, hap_bits, hap_a, hap_b, t0: int, t_len: int,
                         outs: BwdOutputs, state_threshold: int):
         axis = self.axis
 
-        def local(ha, hb):
+        def local(bits, ha, hb):
             if self._use_pallas:
-                r = self.dec._decode_jit(ha, hb, jnp.asarray(t0, jnp.int32),
+                r = self.dec._decode_jit(bits, ha, hb,
+                                         jnp.asarray(t0, jnp.int32),
                                          t_len, outs, state_threshold)
             else:
-                post = self.dec._decode_jit(ha, hb, t0, t_len)
-                r = self._emulated_outputs(post, ha, hb, t0, t_len, outs,
-                                           state_threshold)
+                post = self.dec._decode_jit(bits, ha, hb, t0, t_len)
+                r = self._emulated_outputs(post, bits, ha, hb, t0, t_len,
+                                           outs, state_threshold)
             return {k: (jax.lax.psum(v, axis) if k in _SUM_OUTPUTS else v)
                     for k, v in r.items()}
 
@@ -175,13 +176,13 @@ class ShardedDecoder:
         # (the out_specs above state the sharding explicitly)
         try:
             f = shard_map(local, mesh=self.mesh,
-                          in_specs=(P(axis), P(axis)),
+                          in_specs=(P(), P(axis), P(axis)),
                           out_specs=out_specs, check_vma=False)
         except TypeError:  # older jax spells it check_rep
             f = shard_map(local, mesh=self.mesh,
-                          in_specs=(P(axis), P(axis)),
+                          in_specs=(P(), P(axis), P(axis)),
                           out_specs=out_specs, check_rep=False)
-        return f(hap_a, hap_b)
+        return f(hap_bits, hap_a, hap_b)
 
     def decode_pairs(self, hap_a, hap_b, t0: int = 0,
                      t_len: Optional[int] = None,
@@ -195,7 +196,8 @@ class ShardedDecoder:
             raise ValueError(
                 f"global pair batch {P_global} is not divisible by mesh "
                 f"size {self.n_devices}")
-        return self._decode_sharded(jnp.asarray(hap_a), jnp.asarray(hap_b),
+        return self._decode_sharded(self.dec.hap_bits,
+                                    jnp.asarray(hap_a), jnp.asarray(hap_b),
                                     int(t0), int(t_len), outputs,
                                     int(state_threshold))
 
