@@ -6,10 +6,12 @@ posterior-sum reduction — the same computation the reference's
 [HMM_regression] benchmark measures (time_regression.py: 179,700 pair
 decodes in ~51.97 s => ~3,457 pairs/s on a CI-class CPU with AVX).
 
-Both decode profiles are measured and labeled (VERDICT r1 #5):
+All decode profiles are measured and labeled (VERDICT r1 #5):
   * "exact": f32 alpha + HIGHEST-precision matmuls — reference NO_SSE
     numerics (~5e-7 posterior error);
-  * "fast":  bf16 alpha + bf16x3 matmuls (~6e-3 posterior error).
+  * "fast":  bf16 alpha + bf16x3 matmuls (~6e-3 posterior error);
+  * "turbo": bf16 operands, single-pass matmuls (~1e-2 posterior error;
+    segment-level quality pinned by scripts/profile_accuracy_probe.py).
 Plus the full FastSMC pipeline (hashing -> validation -> IBD file) on the
 in-repo example panel, as end-to-end candidate-segments/s.
 
@@ -77,6 +79,7 @@ def bench_decode(ctx, data, on_tpu):
 
         outs = BwdOutputs(posterior=False, posterior_sums=True)
         for profile, kwargs in (
+                ("turbo", dict(precision="turbo")),
                 ("fast", dict(alpha_dtype=jnp.bfloat16, precision="fast")),
                 ("exact", {})):
             dec = PallasDecoder(ctx, **kwargs)
@@ -92,7 +95,8 @@ def bench_decode(ctx, data, on_tpu):
         def run(a, b):
             jax.block_until_ready(dec.decode_pairs(a, b, 0, T))
 
-        results["exact"] = results["fast"] = _measure(run, pa, pb)
+        results["exact"] = results["fast"] = results["turbo"] = \
+            _measure(run, pa, pb)
     return results
 
 
@@ -145,6 +149,13 @@ def main():
             "vs_baseline": round(decode["exact"] / BASELINE_PAIRS_PER_SEC,
                                  2),
             "note": "reference NO_SSE numerics (f32 + HIGHEST matmuls)",
+        },
+        "turbo": {
+            "value": round(decode["turbo"], 1),
+            "vs_baseline": round(decode["turbo"] / BASELINE_PAIRS_PER_SEC,
+                                 2),
+            "note": "pure-bf16 single-pass matmuls, ~1e-2 posterior err "
+                    "(segment-level quality: PROFILE_ACCURACY.json)",
         },
         "pipeline": pipeline,
     }

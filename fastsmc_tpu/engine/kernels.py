@@ -61,6 +61,11 @@ _PRECISIONS = {
     # bf16x3: ~2x matmul throughput, ~1e-3 posterior error
     # (Mosaic does not lower Precision.HIGH; DEFAULT is bf16x3 on TPU)
     "fast": jax.lax.Precision.DEFAULT,
+    # pure-bf16 operands, single MXU pass (~3x "fast" matmul throughput,
+    # ~197 vs 66 TFLOP/s on v5e); the per-step normalization keeps the
+    # recursion stable, posterior error ~1e-2 — segment-level output
+    # quality is pinned by scripts/profile_accuracy_probe.py
+    "turbo": jax.lax.Precision.DEFAULT,
 }
 
 # VMEM working-set budget for picking the unroll factor, and the Mosaic
@@ -84,7 +89,8 @@ def _round8(n: int) -> int:
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(S: int, ka: int, seq: bool, alpha_dtype, precision):
+def _make_fwd_kernel(S: int, ka: int, seq: bool, alpha_dtype, precision,
+                     compute_dtype=jnp.float32):
     def kernel(*refs):
         if seq:
             sops_ref, rops_ref, mask_ref = refs[:3]
@@ -105,18 +111,22 @@ def _make_fwd_kernel(S: int, ka: int, seq: bool, alpha_dtype, precision):
             return (e[0][:, None] + e[1][:, None] * o[0][None, :]
                     + e[2][:, None] * o[1][None, :])
 
+        def dot(m, v):
+            # operator blocks are stored in compute_dtype; casting the
+            # vector operand to match selects the single-pass MXU path for
+            # the "turbo" (bf16) profile
+            return jnp.dot(m, v.astype(compute_dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+
         def step(i):
             em = emission(i)
-            c = jnp.dot(m1[i][0], carry[:],
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
+            c = dot(m1[i][0], carry[:])
             if seq:
                 # sequence mode: homozygous-emission half-step between
                 # markers, then the marker step (HMM.cpp:760-770)
                 mid = c * hem_ref[i, 0][:, None]
-                c = jnp.dot(m2[i][0], mid,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+                c = dot(m2[i][0], mid)
             c = c * em
             s = jnp.sum(c, axis=0, keepdims=True)
             inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
@@ -158,7 +168,8 @@ _OUT_NAMES = ("posterior", "posterior_sums", "per_pair_mean",
 
 
 def _make_bwd_kernel(outs: BwdOutputs, S: int, K: int, ka: int,
-                     state_threshold: int, seq: bool, precision):
+                     state_threshold: int, seq: bool, precision,
+                     compute_dtype=jnp.float32):
     def kernel(*all_refs):
         if seq:
             sops_ref, rops_ref, mask_ref = all_refs[:3]
@@ -187,6 +198,11 @@ def _make_bwd_kernel(outs: BwdOutputs, S: int, K: int, ka: int,
             # adjacent block when pos+1 crosses the boundary
             return lo[r + 1] if r + 1 < S else hi[0]
 
+        def dot(m, v):
+            return jnp.dot(m, v.astype(compute_dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+
         def step(i):
             r = S - 1 - i
             e = nxt(em_lo_ref, em_hi_ref, r)    # [3, KC] at pos+1
@@ -195,17 +211,10 @@ def _make_bwd_kernel(outs: BwdOutputs, S: int, K: int, ka: int,
                   + e[2][:, None] * o[1][None, :])
             if seq:
                 # HMM.cpp:915-925: homozygous half-step, then marker step
-                mid = jnp.dot(m1[i][0], carry[:] * hem_ref[r, 0][:, None],
-                              preferred_element_type=jnp.float32,
-                              precision=precision)
-                c = jnp.dot(m2[i][0], mid * em,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+                mid = dot(m1[i][0], carry[:] * hem_ref[r, 0][:, None])
+                c = dot(m2[i][0], mid * em)
             else:
-                vec = carry[:] * em
-                c = jnp.dot(m1[i][0], vec,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+                c = dot(m1[i][0], carry[:] * em)
             s = jnp.sum(c, axis=0, keepdims=True)
             inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
             carry[:] = c * inv
@@ -298,6 +307,12 @@ class PallasDecoder:
         self.sequence = ctx.params.decoding_sequence
         self.steps_per_block = steps_per_block
         self.precision = _PRECISIONS[precision]
+        # "turbo": bf16 operator storage + bf16 vector operand -> one MXU
+        # pass per matmul (and half the operator DMA traffic)
+        self.compute_dtype = (jnp.bfloat16 if precision == "turbo"
+                              else jnp.float32)
+        if precision == "turbo":
+            alpha_dtype = jnp.bfloat16
         self.alpha_dtype = jnp.dtype(alpha_dtype)
 
         # dense operators, padded to [G, KC, KC]
@@ -317,8 +332,8 @@ class PallasDecoder:
         Mb = np.zeros((G, KC, KC), np.float32)
         Mf[:, :K, :K] = Tf
         Mb[:, :K, :K] = Tb
-        self.Mf = jnp.asarray(Mf)
-        self.Mb = jnp.asarray(Mb)
+        self.Mf = jnp.asarray(Mf, dtype=self.compute_dtype)
+        self.Mb = jnp.asarray(Mb, dtype=self.compute_dtype)
         self._identity_op = int(remap[int(dq.gen_dist_index(np.float32(0.0)))])
         self.gap_op = remap[np.asarray(ctx.gap_idx)]   # [L-1]
         if self.sequence:
@@ -363,7 +378,8 @@ class PallasDecoder:
             # (block + adjacent block) and the requested reduction outputs.
             # every block is double-buffered by the Pallas pipeline; the
             # carry scratch is resident.
-            ops_b = n_mats * s * KC * KC * 4
+            ops_b = n_mats * s * KC * KC * \
+                jnp.dtype(self.compute_dtype).itemsize
             em_b = s * 3 * KC * 4
             obs_b = s * 2 * P * 4
             alpha_b = s * ka * P * abytes
@@ -382,14 +398,26 @@ class PallasDecoder:
         return 1
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-    def _decode_jit(self, hap_bits, hap_a, hap_b, t0, t_len: int,
+    def _tables(self) -> dict:
+        """Large device tables passed as runtime jit arguments (never
+        closed-over constants: a 97k-site sequence panel's emission +
+        operator tables are hundreds of MB and would otherwise be baked
+        into every compile payload). Built per call so attribute overrides
+        (e.g. the expectedCoalTimesFile exp_times swap) take effect."""
+        t = dict(Mf=self.Mf, Mb=self.Mb, em=self.em, isp=self.isp,
+                 exp=self.exp_times)
+        if self.sequence:
+            t["homoz"] = self.homoz
+        return t
+
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    def _decode_jit(self, tables, hap_bits, hap_a, hap_b, t0, t_len: int,
                     outs: BwdOutputs, state_threshold: int):
         """t0 is a traced scalar so arbitrary decode windows share one
-        compilation per (P, t_len) bucket. hap_bits is a runtime argument
-        (not a closed-over constant) so the compiled program stays
-        panel-size independent — biobank panels are ~GB and would otherwise
-        be serialized into every compile payload."""
+        compilation per (P, t_len) bucket. hap_bits and the model tables
+        are runtime arguments (not closed-over constants) so the compiled
+        program stays panel-size independent — biobank panels are ~GB and
+        would otherwise be serialized into every compile payload."""
         K, L, P = self.K, self.L, hap_a.shape[0]
         T = t_len
         t0 = jnp.asarray(t0, jnp.int32)
@@ -409,7 +437,7 @@ class PallasDecoder:
         obs = jnp.stack([1.0 - xor.T, hom.T], axis=1)   # [T, 2, P]
 
         # --- emission tables [T, 3, KC]; padded positions -> identity ------
-        em = jnp.take(self.em, site_idx_c, axis=0)
+        em = jnp.take(tables["em"], site_idx_c, axis=0)
         ident_em = jnp.zeros((3, KC), jnp.float32).at[0, :].set(1.0)
         em = jnp.where(valid[:, None, None], em, ident_em[None])
 
@@ -447,16 +475,18 @@ class PallasDecoder:
                                rate_op[jnp.minimum(site_idx, L - 1)],
                                ident).astype(jnp.int32)
             # homozygous emissions per gap, [T, 1, KC]
-            hz = jnp.take(self.homoz, jnp.clip(t0 + steps - 1, 0, L - 2),
-                          axis=0)
+            hz = jnp.take(tables["homoz"],
+                          jnp.clip(t0 + steps - 1, 0, L - 2), axis=0)
             hem_f = jnp.where(((steps >= 1) & (steps < real)
                                )[:, None, None], hz, 1.0)
-            hzb = jnp.take(self.homoz, jnp.clip(t0 + steps, 0, L - 2), axis=0)
+            hzb = jnp.take(tables["homoz"], jnp.clip(t0 + steps, 0, L - 2),
+                           axis=0)
             hem_b = jnp.where((steps < real - 1)[:, None, None], hzb, 1.0)
 
         interp = self.interpret
         KA = _round8(K)
         prec = self.precision
+        cdt = self.compute_dtype
         adt = self.alpha_dtype
 
         # --- forward -------------------------------------------------------
@@ -485,12 +515,13 @@ class PallasDecoder:
                 scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
             )
             alpha = pl.pallas_call(
-                _make_fwd_kernel(S, KA, True, adt, prec), grid_spec=fwd_grid,
+                _make_fwd_kernel(S, KA, True, adt, prec, cdt), grid_spec=fwd_grid,
                 out_shape=jax.ShapeDtypeStruct((T, KA, P), adt),
                 compiler_params=_compiler_params(interp),
                 interpret=interp,
             )(sops_f, rops_f, fwd_mask,
-              *([self.Mf] * (2 * S)), em, hem_f, obs, self.isp[None])
+              *([tables["Mf"]] * (2 * S)), em, hem_f, obs,
+              tables["isp"][None])
         else:
             op_specs = [pl.BlockSpec(
                 (1, KC, KC), lambda t, ops, mask, i=i: (ops[S * t + i], 0, 0))
@@ -507,11 +538,12 @@ class PallasDecoder:
                 scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
             )
             alpha = pl.pallas_call(
-                _make_fwd_kernel(S, KA, False, adt, prec), grid_spec=fwd_grid,
+                _make_fwd_kernel(S, KA, False, adt, prec, cdt), grid_spec=fwd_grid,
                 out_shape=jax.ShapeDtypeStruct((T, KA, P), adt),
                 compiler_params=_compiler_params(interp),
                 interpret=interp,
-            )(ops_f, fwd_mask, *([self.Mf] * S), em, obs, self.isp[None])
+            )(ops_f, fwd_mask, *([tables["Mf"]] * S), em, obs,
+              tables["isp"][None])
 
         # --- backward + combine -------------------------------------------
         # grid step t, sub-step i: global g = S*t+i, pos = T-1-g; beta
@@ -521,7 +553,8 @@ class PallasDecoder:
         bwd_mask = (((t0 + T - 1 - steps) % self._scaling_skip) == 0
                     ).astype(jnp.int32)
 
-        kernel = _make_bwd_kernel(outs, S, K, KA, state_threshold, seq, prec)
+        kernel = _make_bwd_kernel(outs, S, K, KA, state_threshold, seq,
+                                 prec, cdt)
 
         def rev(t, *a):
             return (nblk - 1 - t, 0, 0)
@@ -569,8 +602,8 @@ class PallasDecoder:
                 pl.BlockSpec((S, KA, P), rev),       # alpha
                 pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
             ]
-            args = (sops_b, rops_b, bwd_mask, *([self.Mb] * (2 * S)),
-                    em, em, hem_b, obs, obs, alpha, self.exp_times)
+            args = (sops_b, rops_b, bwd_mask, *([tables["Mb"]] * (2 * S)),
+                    em, em, hem_b, obs, obs, alpha, tables["exp"])
             n_prefetch = 3
         else:
             bop_specs = [pl.BlockSpec(
@@ -585,8 +618,8 @@ class PallasDecoder:
                 pl.BlockSpec((S, KA, P), rev),       # alpha
                 pl.BlockSpec((1, KC), lambda t, *a: (0, 0)),
             ]
-            args = (ops_b, bwd_mask, *([self.Mb] * S),
-                    em, em, obs, obs, alpha, self.exp_times)
+            args = (ops_b, bwd_mask, *([tables["Mb"]] * S),
+                    em, em, obs, obs, alpha, tables["exp"])
             n_prefetch = 2
 
         bwd_grid = pltpu.PrefetchScalarGridSpec(
@@ -637,7 +670,7 @@ class PallasDecoder:
           threshold_sums  [T, P]     (sum_{k < state_threshold} posterior)
         """
         t_len = self.L - t0 if t_len is None else t_len
-        return self._decode_jit(self.hap_bits,
+        return self._decode_jit(self._tables(), self.hap_bits,
                                 jnp.asarray(hap_a), jnp.asarray(hap_b),
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))

@@ -143,14 +143,14 @@ class ShardedDecoder:
                  for w in (w00, w01, w11)], axis=1)   # [T, 3, K]
         return r
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
-    def _decode_sharded(self, hap_bits, hap_a, hap_b, t0: int, t_len: int,
-                        outs: BwdOutputs, state_threshold: int):
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    def _decode_sharded(self, tables, hap_bits, hap_a, hap_b, t0: int,
+                        t_len: int, outs: BwdOutputs, state_threshold: int):
         axis = self.axis
 
-        def local(bits, ha, hb):
+        def local(tabs, bits, ha, hb):
             if self._use_pallas:
-                r = self.dec._decode_jit(bits, ha, hb,
+                r = self.dec._decode_jit(tabs, bits, ha, hb,
                                          jnp.asarray(t0, jnp.int32),
                                          t_len, outs, state_threshold)
             else:
@@ -176,13 +176,13 @@ class ShardedDecoder:
         # (the out_specs above state the sharding explicitly)
         try:
             f = shard_map(local, mesh=self.mesh,
-                          in_specs=(P(), P(axis), P(axis)),
+                          in_specs=(P(), P(), P(axis), P(axis)),
                           out_specs=out_specs, check_vma=False)
         except TypeError:  # older jax spells it check_rep
             f = shard_map(local, mesh=self.mesh,
-                          in_specs=(P(), P(axis), P(axis)),
+                          in_specs=(P(), P(), P(axis), P(axis)),
                           out_specs=out_specs, check_rep=False)
-        return f(hap_bits, hap_a, hap_b)
+        return f(tables, hap_bits, hap_a, hap_b)
 
     def decode_pairs(self, hap_a, hap_b, t0: int = 0,
                      t_len: Optional[int] = None,
@@ -196,7 +196,8 @@ class ShardedDecoder:
             raise ValueError(
                 f"global pair batch {P_global} is not divisible by mesh "
                 f"size {self.n_devices}")
-        return self._decode_sharded(self.dec.hap_bits,
+        tables = self.dec._tables() if self._use_pallas else {}
+        return self._decode_sharded(tables, self.dec.hap_bits,
                                     jnp.asarray(hap_a), jnp.asarray(hap_b),
                                     int(t0), int(t_len), outputs,
                                     int(state_threshold))

@@ -37,6 +37,8 @@ def _profile_kwargs(profile: str) -> dict:
     if profile == "fast":
         import jax.numpy as jnp
         return dict(alpha_dtype=jnp.bfloat16, precision="fast")
+    if profile == "turbo":
+        return dict(precision="turbo")
     raise ValueError(f"unknown decode profile {profile!r}")
 
 

@@ -92,6 +92,23 @@ def test_pallas_interpret_matches_oracle_window(n300_ctx):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_pallas_interpret_turbo_profile(n300_ctx):
+    """Turbo profile (pure-bf16 single-pass matmuls): per-step
+    normalization keeps the recursion stable, posterior within ~2e-2 of
+    the exact oracle (segment-level quality is pinned on hardware by
+    scripts/profile_accuracy_probe.py)."""
+    from fastsmc_tpu.engine.kernels import PallasDecoder, BwdOutputs
+    dec = PallasDecoder(n300_ctx, interpret=True, precision="turbo")
+    pa = np.array([1, 3, 10, 21, 40, 33, 7, 9] * 16, dtype=np.int32)
+    pb = np.array([2, 4, 11, 22, 41, 133, 107, 209] * 16, dtype=np.int32)
+    r = dec.decode_pairs(pa, pb, 100, 128, BwdOutputs(posterior=True), 0)
+    post = np.asarray(r["posterior"], np.float32)
+    for i in (0, 5):
+        ref = decode_pair(n300_ctx, int(pa[i]), int(pb[i]), 100, 228)
+        np.testing.assert_allclose(post[:, :, i].T, ref, atol=2e-2)
+
+
 def test_bucket_len():
     assert bucket_len(1) == 64
     assert bucket_len(64) == 64

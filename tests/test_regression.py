@@ -38,6 +38,28 @@ def test_fastsmc_example_array_matches_golden(repo_root, tmp_path):
     assert got == want
 
 
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_sequence_mode_tpu_golden(repo_root):
+    """Sequence-mode Pallas decode must reproduce the frozen hardware golden
+    byte-exactly (VERDICT r1 #8; fixture from scripts/make_tpu_goldens.py).
+    Pins the two-half-step homozygous-emission numerics
+    (HMM.cpp:760-770/915-925) on the chip, not only via the 20-min
+    interpret cross-check."""
+    if not _tpu_available():
+        pytest.skip("requires TPU backend")
+    from scripts.make_tpu_goldens import sequence_decode
+
+    fixture = repo_root / "tests" / "fixtures" / "sequence_n300.golden.npz"
+    if not fixture.exists():
+        pytest.skip("golden fixture missing; run scripts/make_tpu_goldens.py")
+    want = np.load(str(fixture))
+    got = sequence_decode()
+    assert set(got) == set(want.files)
+    for k in want.files:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
 @pytest.mark.slow
 def test_sequence_mode_oracle_vs_batched(repo_root):
     """Sequence decoding mode (two half-steps per site with homozygous
