@@ -65,12 +65,12 @@ def bench_decode(ctx, data, on_tpu):
     from fastsmc_tpu.engine.hmm import bucket_len
     import jax
 
-    P = int(os.environ.get("FASTSMC_BENCH_P", "8192" if on_tpu else "64"))
+    P_max = int(os.environ.get("FASTSMC_BENCH_P", "8192" if on_tpu else "64"))
     T = bucket_len(data.sites)
     rng = np.random.default_rng(0)
-    pa = rng.integers(0, data.n_haps, P).astype(np.int32)
-    pb = (pa + 1 + rng.integers(0, data.n_haps - 1, P)).astype(np.int32) \
-        % data.n_haps
+    pa_full = rng.integers(0, data.n_haps, P_max).astype(np.int32)
+    pb_full = (pa_full + 1 + rng.integers(0, data.n_haps - 1, P_max)
+               ).astype(np.int32) % data.n_haps
 
     results = {}
     if on_tpu:
@@ -78,16 +78,24 @@ def bench_decode(ctx, data, on_tpu):
         from fastsmc_tpu.engine.kernels import BwdOutputs, PallasDecoder
 
         outs = BwdOutputs(posterior=False, posterior_sums=True)
+        ka = (ctx.dq.states + 7) // 8 * 8
+        hbm_budget = 12 * 2**30           # leave headroom under ~16 GB HBM
         for profile, kwargs in (
                 ("turbo", dict(precision="turbo")),
                 ("fast", dict(alpha_dtype=jnp.bfloat16, precision="fast")),
                 ("exact", {})):
             dec = PallasDecoder(ctx, **kwargs)
+            # alpha [T, KA, P] is the dominant HBM resident; cap P so it fits
+            P = P_max
+            while T * ka * P * dec.alpha_dtype.itemsize > hbm_budget:
+                P //= 2
+            pa, pb = pa_full[:P], pb_full[:P]
 
             def run(a, b):
                 jax.block_until_ready(dec.decode_pairs(a, b, 0, T, outs, 0))
 
             results[profile] = _measure(run, pa, pb)
+            results[profile + "_batch"] = P
     else:
         from fastsmc_tpu.engine.hmm import BatchedDecoder
         dec = BatchedDecoder(ctx)
@@ -96,7 +104,7 @@ def bench_decode(ctx, data, on_tpu):
             jax.block_until_ready(dec.decode_pairs(a, b, 0, T))
 
         results["exact"] = results["fast"] = results["turbo"] = \
-            _measure(run, pa, pb)
+            _measure(run, pa_full, pb_full)
     return results
 
 
@@ -144,14 +152,17 @@ def main():
                 "+ bf16x3, ~6e-3 posterior err)",
         "vs_baseline": round(decode["fast"] / BASELINE_PAIRS_PER_SEC, 2),
         "profile": "fast",
+        "batch_pairs": decode.get("fast_batch"),
         "exact": {
             "value": round(decode["exact"], 1),
+            "batch_pairs": decode.get("exact_batch"),
             "vs_baseline": round(decode["exact"] / BASELINE_PAIRS_PER_SEC,
                                  2),
             "note": "reference NO_SSE numerics (f32 + HIGHEST matmuls)",
         },
         "turbo": {
             "value": round(decode["turbo"], 1),
+            "batch_pairs": decode.get("turbo_batch"),
             "vs_baseline": round(decode["turbo"] / BASELINE_PAIRS_PER_SEC,
                                  2),
             "note": "pure-bf16 single-pass matmuls, ~1e-2 posterior err "

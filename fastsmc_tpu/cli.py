@@ -51,10 +51,11 @@ def _add_fastsmc_parser(sub):
                    help="identification scan: streaming host scan (native "
                         "C++/Python) or the sort-based device (XLA) scan")
     p.add_argument("--decodeProfile", default="exact",
-                   choices=["exact", "fast"],
-                   help="decode numerics: exact (reference NO_SSE f32) or "
+                   choices=["exact", "fast", "turbo"],
+                   help="decode numerics: exact (reference NO_SSE f32), "
                         "fast (bf16 store + bf16x3 matmul, ~6e-3 posterior "
-                        "error, ~2.5x throughput)")
+                        "error, ~2.5x throughput), or turbo (pure-bf16 "
+                        "single-pass matmul, ~1e-2 error)")
     return p
 
 
@@ -113,7 +114,7 @@ def _add_asmc_parser(sub):
     p.add_argument("--noBatches", action="store_true",
                    help="scalar (non-batched) oracle decoding; debug only")
     p.add_argument("--decodeProfile", default="exact",
-                   choices=["exact", "fast"])
+                   choices=["exact", "fast", "turbo"])
     return p
 
 

@@ -226,23 +226,34 @@ class FastSMC:
         os.replace(tmp, path)
         self._open_writer(append=True)
 
-    def _fill_pps(self, segs: List[seg.Segment], post, frm: int) -> None:
+    def _fill_pps(self, segs: List[seg.Segment], post, frm: int,
+                  chunk: int = 256) -> None:
         """Per-segment posterior-state sums, computed on device via an
         indicator matmul over the run intervals (replaces transferring the
-        full [T, K, P] posterior to host)."""
+        full [T, K, P] posterior to host). Segments are processed in
+        fixed-size chunks so the gathered [T, K, chunk] posterior stays a
+        few hundred MB even when a large batch emits thousands of runs."""
         import jax.numpy as jnp
         T = post.shape[0]
         n_seg = len(segs)
-        n_pad = bucket_len(n_seg, 32)   # bound jit shapes
+        n_pad = bucket_len(n_seg, chunk) if n_seg > chunk \
+            else bucket_len(n_seg, 32)
+        n_chunk = min(n_pad, chunk)
         ind = np.zeros((n_pad, T), np.float32)
         p_idx = np.zeros(n_pad, np.int32)
         for i, s in enumerate(segs):
             ind[i, s.start - frm:s.end - frm + 1] = 1.0
             p_idx[i] = s.pair
-        post_g = jnp.take(jnp.asarray(post), jnp.asarray(p_idx),
-                          axis=2)                      # [T, K, n_pad]
-        pps = np.asarray(jnp.einsum("it,tki->ik", jnp.asarray(ind), post_g,
-                                    precision="highest"))
+        post = jnp.asarray(post)
+        pps_parts = []
+        for lo in range(0, n_pad, n_chunk):
+            hi = lo + n_chunk
+            post_g = jnp.take(post, jnp.asarray(p_idx[lo:hi]),
+                              axis=2)                  # [T, K, n_chunk]
+            pps_parts.append(np.asarray(jnp.einsum(
+                "it,tki->ik", jnp.asarray(ind[lo:hi]), post_g,
+                precision="highest")))
+        pps = np.concatenate(pps_parts, axis=0)
         for i, s in enumerate(segs):
             s.pps = pps[i, :self.age_threshold]
 
