@@ -27,31 +27,42 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _compile() -> bool:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           _SRC, "-o", _LIB_PATH]
+def _compile(lib_path: str, extra_flags=()) -> bool:
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    cmd = (["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
+           + list(extra_flags) + [_SRC, "-o", lib_path])
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=300)
-        return r.returncode == 0 and os.path.exists(_LIB_PATH)
+        return r.returncode == 0 and os.path.exists(lib_path)
     except Exception:
         return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    ``FASTSMC_NATIVE_CXXFLAGS`` (e.g. ``-fsanitize=address -g``) selects an
+    instrumented build in a flag-keyed path — the CI sanitizer leg
+    (scripts/ci.sh) runs the hashing/RNG tests against it, mirroring the
+    reference's ubuntu-asan workflow (CMakeLists.txt:229-242).
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        flags = tuple(os.environ.get("FASTSMC_NATIVE_CXXFLAGS", "").split())
+        lib_path = _LIB_PATH
+        if flags:
+            tag = "%08x" % (hash(flags) & 0xFFFFFFFF)
+            lib_path = os.path.join(_BUILD_DIR, f"libfastsmc_native.{tag}.so")
         src_mtime = os.path.getmtime(_SRC)
-        if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < src_mtime):
-            if not _compile():
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < src_mtime):
+            if not _compile(lib_path, flags):
                 return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             return None
 
