@@ -49,15 +49,33 @@ def _build_ctx():
     return params, data, dq, DecodeContext.build(params, data, dq)
 
 
-def _measure(run, pa, pb, min_s=5.0):
-    run(pa, pb)  # warmup/compile
+def _sync(result):
+    """Force device completion by materializing (a slice of) one output.
+
+    jax.block_until_ready does NOT reliably block on the axon remote
+    backend — timing loops built on it measure dispatch, not execution
+    (observed: 0.5 ms/"call" for a 120 ms kernel). Pulling bytes to host
+    is the only trustworthy barrier; device execution is in-order, so
+    syncing the last dispatched result covers everything before it.
+    """
+    import jax
+    leaf = jax.tree_util.tree_leaves(result)[0]
+    np.asarray(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def _measure(run, pa, pb, min_s=5.0, chunk=8):
+    """Pipelined throughput: dispatch `chunk` calls, sync on the last."""
+    _sync(run(pa, pb))  # warmup/compile, synced
     reps = 0
     t0 = time.time()
     while True:
-        run(pa, pb)
-        reps += 1
+        last = None
+        for _ in range(chunk):
+            last = run(pa, pb)
+        _sync(last)
+        reps += chunk
         dt = time.time() - t0
-        if (dt > min_s and reps >= 3) or reps >= 200:
+        if (dt > min_s and reps >= 3 * chunk) or reps >= 200:
             return reps * len(pa) / dt
 
 
@@ -92,7 +110,7 @@ def bench_decode(ctx, data, on_tpu):
             pa, pb = pa_full[:P], pb_full[:P]
 
             def run(a, b):
-                jax.block_until_ready(dec.decode_pairs(a, b, 0, T, outs, 0))
+                return dec.decode_pairs(a, b, 0, T, outs, 0)
 
             results[profile] = _measure(run, pa, pb)
             results[profile + "_batch"] = P
@@ -101,7 +119,7 @@ def bench_decode(ctx, data, on_tpu):
         dec = BatchedDecoder(ctx)
 
         def run(a, b):
-            jax.block_until_ready(dec.decode_pairs(a, b, 0, T))
+            return dec.decode_pairs(a, b, 0, T)
 
         results["exact"] = results["fast"] = results["turbo"] = \
             _measure(run, pa_full, pb_full)

@@ -170,17 +170,9 @@ def decode_probe():
         pb = (pa + 1 + rng.integers(0, n_haps - 1, P)).astype(np.int32) \
             % n_haps
 
-        def run():
-            jax.block_until_ready(
-                dec.decode_pairs(pa, pb, 0, T, outs, 10))
-
-        run()                                    # compile
-        t0 = time.time()
-        reps = 0
-        while time.time() - t0 < 5.0 or reps < 3:
-            run()
-            reps += 1
-        rate = reps * P / (time.time() - t0)
+        from fastsmc_tpu.utils.sync import measure_throughput
+        rate = measure_throughput(
+            lambda: dec.decode_pairs(pa, pb, 0, T, outs, 10), P)
         row = dict(profile=profile, batch_pairs=P, sites=SITES,
                    n_haps=n_haps, pair_decodes_per_sec=round(rate, 1))
         rows.append(row)

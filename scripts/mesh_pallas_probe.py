@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fastsmc_tpu.utils.sync import measure_throughput, sync  # noqa: E402
+
 
 def main():
     import jax
@@ -57,12 +59,12 @@ def main():
 
     t0 = time.time()
     r_mesh = sd.decode_pairs(ha, hb, 0, T, outs, 10)
-    jax.block_until_ready(r_mesh)
+    sync(r_mesh)
     print(f"sharded decode compiled+ran in {time.time() - t0:.1f}s "
           f"(mesh size {n_dev})")
 
     r_dir = direct.decode_pairs(ha, hb, 0, T, outs, 10)
-    jax.block_until_ready(r_dir)
+    sync(r_dir)
 
     for name in ("posterior_sums", "per_pair_mean", "threshold_sums",
                  "major_minor_sums"):
@@ -76,19 +78,10 @@ def main():
     assert mism < 1e-3
 
     # steady-state throughput through the sharded path vs direct
-    def bench(fn):
-        fn()
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < 4.0:
-            fn()
-            n += 1
-        return n * P / (time.time() - t0)
-
-    thr_mesh = bench(lambda: jax.block_until_ready(
-        sd.decode_pairs(ha, hb, 0, T, outs, 10)))
-    thr_dir = bench(lambda: jax.block_until_ready(
-        direct.decode_pairs(ha, hb, 0, T, outs, 10)))
+    thr_mesh = measure_throughput(
+        lambda: sd.decode_pairs(ha, hb, 0, T, outs, 10), P, min_s=4.0)
+    thr_dir = measure_throughput(
+        lambda: direct.decode_pairs(ha, hb, 0, T, outs, 10), P, min_s=4.0)
     print(f"throughput (1024-site windows): sharded {thr_mesh:.0f} pairs/s, "
           f"direct {thr_dir:.0f} pairs/s, overhead "
           f"{100 * (1 - thr_mesh / thr_dir):.1f}%")

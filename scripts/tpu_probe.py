@@ -16,6 +16,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fastsmc_tpu.utils.sync import measure_throughput, sync  # noqa: E402
+
 
 def main():
     import jax
@@ -57,22 +59,15 @@ def main():
             S = dec._pick_steps(T, P, outs)
             pa, pb = pairs(P)
             t0 = time.time()
-            r = dec.decode_pairs(pa, pb, 0, T, outs, 0)
-            jax.block_until_ready(r)
+            sync(dec.decode_pairs(pa, pb, 0, T, outs, 0))
             compile_s = time.time() - t0
-            reps = 0
-            t0 = time.time()
-            while True:
-                r = dec.decode_pairs(pa, pb, 0, T, outs, 0)
-                jax.block_until_ready(r)
-                reps += 1
-                dt = time.time() - t0
-                if (dt > 4.0 and reps >= 3) or reps >= 200:
-                    break
+            rate = measure_throughput(
+                lambda: dec.decode_pairs(pa, pb, 0, T, outs, 0), P,
+                min_s=4.0)
             print(json.dumps({
                 "cfg": name, "P": P, "S": S,
-                "pairs_per_sec": round(reps * P / dt, 1),
-                "ms_per_batch": round(1e3 * dt / reps, 2),
+                "pairs_per_sec": round(rate, 1),
+                "ms_per_batch": round(1e3 * P / rate, 2),
                 "compile_s": round(compile_s, 1)}), flush=True)
             return dec
         except Exception:
