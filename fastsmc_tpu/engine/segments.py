@@ -25,7 +25,7 @@ thresholds ends it, and the window end flushes the active run.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -124,6 +124,192 @@ def extract_segments(
                            end=from_pos + int(b[i]),
                            score_sum=float(score[i]), pps=pps))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side extraction. The level/run logic above runs in-jit and only
+# boundary indices (KBs) cross the host link, instead of downloading the
+# [T, P] sums matrix (tens of MB) and uploading a dense [runs, T] indicator
+# (tens of MB) per batch — the host<->device link is the pipeline bottleneck
+# (~40 MB/s on the remote TPU backend). Run scores and per-state posterior
+# sums are then computed on device by an indicator einsum over the run
+# intervals and downloaded as [runs]/[runs, K] — the reference's
+# "sumOfPosteriors" accumulation (HMM.cpp:1216-1222) as one MXU contraction.
+# ---------------------------------------------------------------------------
+
+_jit_cache: dict = {}
+
+
+def _get_jit(name: str):
+    """Lazily build the jitted device helpers (keeps jax an optional import
+    for pure-host users of this module)."""
+    if name in _jit_cache:
+        return _jit_cache[name]
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def boundaries(th, s0, s1, p, cap):
+        """th [T, P] f32 -> (flat boundary idx [cap] i32 over the [P, T]
+        row-major layout, level at each boundary [cap] u8, count)."""
+        T, P = th.shape
+        p = jnp.float32(p)
+        lvl = (4
+               - (th >= p).astype(jnp.int32)
+               - (th >= jnp.float32(10.0) * p).astype(jnp.int32)
+               - (th >= jnp.float32(100.0) * p).astype(jnp.int32)
+               - (th >= jnp.float32(1000.0) * p).astype(jnp.int32))
+        pos = jnp.arange(T, dtype=jnp.int32)
+        valid = (pos >= s0) & (pos < s1)
+        lvl = jnp.where(valid[:, None], lvl, 4)
+        lvl_t = lvl.T                                       # [P, T]
+        prev = jnp.concatenate(
+            [jnp.full((P, 1), 4, lvl_t.dtype), lvl_t[:, :-1]], axis=1)
+        chg = lvl_t != prev
+        n = chg.sum()
+        (idx,) = jnp.nonzero(chg.ravel(), size=cap, fill_value=T * P)
+        idx = idx.astype(jnp.int32)
+        lv = jnp.where(idx < T * P,
+                       lvl_t.ravel()[jnp.minimum(idx, T * P - 1)], 4)
+        return idx, lv.astype(jnp.uint8), n.astype(jnp.int32)
+
+    def _indicator(a, b, T):
+        pos = jnp.arange(T, dtype=jnp.int32)
+        return ((pos[None, :] >= a[:, None])
+                & (pos[None, :] <= b[:, None])).astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run_scores(th, pair, a, b, chunk):
+        """Sum of th over [a_i, b_i] in column pair_i, per run (f32,
+        HIGHEST-precision contraction). One dispatch: chunked internally
+        with lax.map so the gathered columns stay small."""
+        T = th.shape[0]
+
+        def chunk_fn(args):
+            pr, ar, br = args
+            ind = _indicator(ar, br, T)                     # [C, T]
+            th_g = th[:, pr]                                # [T, C]
+            return jnp.einsum("it,ti->i", ind, th_g,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        n = pair.shape[0]
+        sh = (n // chunk, chunk)
+        out = jax.lax.map(chunk_fn, (pair.reshape(sh), a.reshape(sh),
+                                     b.reshape(sh)))
+        return out.reshape(n)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run_pps(post, pair, a, b, chunk):
+        """Per-state posterior sums over each run: [N, K]. Chunked with
+        lax.map so the [T, K, chunk] gathered posterior stays a few
+        hundred MB; single dispatch + single download."""
+        T, K = post.shape[0], post.shape[1]
+
+        def chunk_fn(args):
+            pr, ar, br = args
+            ind = _indicator(ar, br, T)                     # [C, T]
+            post_g = jnp.take(post, pr, axis=2)             # [T, K, C]
+            return jnp.einsum("it,tki->ik", ind, post_g,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        n = pair.shape[0]
+        sh = (n // chunk, chunk)
+        out = jax.lax.map(chunk_fn, (pair.reshape(sh), a.reshape(sh),
+                                     b.reshape(sh)))
+        return out.reshape(n, K)
+
+    _jit_cache.update(boundaries=boundaries, run_scores=run_scores,
+                      run_pps=run_pps)
+    return _jit_cache[name]
+
+
+def extract_segments_device(
+        th,                                   # [T, P] device threshold sums
+        posterior,                            # [T, K, P] device or None
+        prob_threshold: float,
+        s0: int, s1: int,                     # window within [0, T)
+        from_pos: int,                        # absolute position of index 0
+        age_threshold: int = 0,
+        cap: int = 16384,
+        pps_chunk: int = 256,
+        ) -> Tuple[List[Segment], int]:
+    """Device-side mirror of :func:`extract_segments` on the decode window
+    ``[s0, s1)``. Returns (segments, grown_cap) — callers should carry the
+    returned cap forward so a batch-heavy run compiles the boundary kernel
+    for at most a few cap buckets.
+
+    Scores/pps are f32 HIGHEST contractions (the reference accumulates
+    these in f32 too, HMM.cpp:1216-1222); the host path's f64 differencing
+    agrees to ~1e-7 relative.
+    """
+    import os
+    import time
+
+    import jax.numpy as jnp
+
+    dbg = os.environ.get("FASTSMC_SEG_DEBUG")
+    t_start = time.time()
+    T, P = th.shape
+    boundaries = _get_jit("boundaries")
+    while True:
+        cap_eff = min(cap, T * P)
+        idx, lv, n = boundaries(th, jnp.asarray(s0, jnp.int32),
+                                jnp.asarray(s1, jnp.int32),
+                                float(prob_threshold), cap_eff)
+        n = int(n)
+        if n <= cap_eff or cap_eff == T * P:
+            break
+        cap = cap_eff * 4
+    idx = np.asarray(idx)[:n]
+    lv = np.asarray(lv)[:n]
+    t_bounds = time.time()
+
+    pair = idx // T
+    a = idx % T
+    b = np.empty_like(a)
+    if n:
+        b[:-1] = np.where(pair[1:] == pair[:-1], a[1:] - 1, s1 - 1)
+        b[-1] = s1 - 1
+    keep = lv != 4
+    pair, a, b = pair[keep], a[keep], b[keep]
+    n_runs = len(pair)
+    if n_runs == 0:
+        return [], cap
+
+    run_scores = _get_jit("run_scores")
+    run_pps = _get_jit("run_pps")
+    # pad the run list to a power-of-two chunk multiple (log-many shapes
+    # -> log-many compiles); scores + pps go out in single dispatches and
+    # one download each
+    n_pad = pps_chunk
+    while n_pad < n_runs:
+        n_pad *= 2
+    fill = n_pad - n_runs
+    pr = np.concatenate([pair, np.zeros(fill, pair.dtype)])
+    ar = np.concatenate([a, np.zeros(fill, a.dtype)])
+    br = np.concatenate([b, np.full(fill, -1, b.dtype)])
+    pr, ar, br = (jnp.asarray(x, jnp.int32) for x in (pr, ar, br))
+    score_dev = run_scores(th, pr, ar, br, pps_chunk)
+    pps_dev = run_pps(posterior, pr, ar, br, pps_chunk) \
+        if posterior is not None else None
+    t_disp = time.time()
+    score = np.asarray(score_dev)[:n_runs]
+    pps = np.asarray(pps_dev)[:n_runs] if pps_dev is not None else None
+    if dbg:
+        print(f"[segdev] n={n} runs={n_runs} pad={n_pad} "
+              f"bounds {t_bounds - t_start:.3f}s host+disp "
+              f"{t_disp - t_bounds:.3f}s download "
+              f"{time.time() - t_disp:.3f}s", flush=True)
+
+    out: List[Segment] = []
+    for i in range(n_runs):
+        out.append(Segment(
+            pair=int(pair[i]), start=from_pos + int(a[i]),
+            end=from_pos + int(b[i]), score_sum=float(score[i]),
+            pps=pps[i, :age_threshold] if pps is not None else None))
+    return out, cap
 
 
 def posterior_mean_from_pps(pps: np.ndarray, expected_times: np.ndarray

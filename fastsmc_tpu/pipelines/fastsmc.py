@@ -135,6 +135,9 @@ class FastSMC:
         # candidate stream and skipping already-flushed batches.
         self._batch_idx = 0
         self._resume_skip = 0
+        # device-extraction boundary capacity; grows sticky so batch-heavy
+        # runs compile the boundary kernel for at most a few cap buckets
+        self._seg_cap = 16384
 
     # ------------------------------------------------------------------
     def _open_writer(self, append: bool = False):
@@ -198,13 +201,22 @@ class FastSMC:
         with self.timer.phase("segments"):
             s0 = start_batch - frm
             s1 = end_batch - frm
-            sums_w = th_sums[s0:s1]
-            segs = seg.extract_segments(sums_w, self.prob_threshold,
-                                        start_batch, None,
-                                        self.age_threshold)
-            segs = [s for s in segs if s.pair < n]
-            if need_ages and segs:
-                self._fill_pps(segs, post, frm)
+            if self._bwd_outputs_cls is not None:
+                # device extraction: only run boundaries + per-run
+                # reductions cross the (slow) host link
+                segs, self._seg_cap = seg.extract_segments_device(
+                    th_sums, post if need_ages else None,
+                    self.prob_threshold, s0, s1, frm,
+                    self.age_threshold, cap=self._seg_cap)
+                segs = [s for s in segs if s.pair < n]
+            else:
+                sums_w = th_sums[s0:s1]
+                segs = seg.extract_segments(sums_w, self.prob_threshold,
+                                            start_batch, None,
+                                            self.age_threshold)
+                segs = [s for s in segs if s.pair < n]
+                if need_ages and segs:
+                    self._fill_pps(segs, post, frm)
         with self.timer.phase("outputPerPair"):
             self._emit(segs, hap1, hap2)
         self._batch.clear()
@@ -259,7 +271,11 @@ class FastSMC:
 
     def _decode(self, hap1, hap2, frm: int, t_len: int, need_ages: bool
                 ) -> Tuple[Optional[np.ndarray], np.ndarray]:
-        """Returns (posterior [T,K,P] or None, threshold_sums [T,P])."""
+        """Returns (posterior [T,K,P] or None, threshold_sums [T,P]).
+
+        On the device path both stay on device — segment extraction runs
+        there too (engine/segments.py: extract_segments_device) and only
+        boundary indices + per-run reductions cross the host link."""
         if self._bwd_outputs_cls is not None:
             outs = self._bwd_outputs_cls(
                 posterior=need_ages, posterior_sums=False,
@@ -267,7 +283,7 @@ class FastSMC:
             r = self.decoder.decode_pairs(hap1, hap2, frm, t_len, outs,
                                           self.state_threshold)
             post = r["posterior"] if need_ages else None  # stays on device
-            return post, np.asarray(r["threshold_sums"])
+            return post, r["threshold_sums"]
         post = self.decoder.decode_pairs(hap1, hap2, frm, t_len)
         th = np.asarray(post[:, :self.state_threshold, :].sum(axis=1))
         return (post if need_ages else None), th
@@ -346,12 +362,18 @@ class FastSMC:
             t_len = bucket_len(L)
             need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
             post, th = self._decode(h1, h2, 0, t_len, need_ages)
-            sums_w = th[:L]
-            segs = seg.extract_segments(sums_w, self.prob_threshold, 0,
-                                        None, self.age_threshold)
-            segs = [s for s in segs if s.pair < n]
-            if need_ages and segs:
-                self._fill_pps(segs, post, 0)
+            if self._bwd_outputs_cls is not None:
+                segs, self._seg_cap = seg.extract_segments_device(
+                    th, post if need_ages else None, self.prob_threshold,
+                    0, L, 0, self.age_threshold, cap=self._seg_cap)
+                segs = [s for s in segs if s.pair < n]
+            else:
+                sums_w = th[:L]
+                segs = seg.extract_segments(sums_w, self.prob_threshold, 0,
+                                            None, self.age_threshold)
+                segs = [s for s in segs if s.pair < n]
+                if need_ages and segs:
+                    self._fill_pps(segs, post, 0)
             self._emit(segs, h1, h2)
 
     # ------------------------------------------------------------------

@@ -29,17 +29,23 @@ class PhaseTimer:
     def total(self) -> float:
         return time.time() - self.t0
 
-    def report(self, out=None) -> str:
-        """Percentage breakdown like asmc::printPctTime (HmmUtils.cpp:96-100)."""
+    def report(self, out="stdout") -> str:
+        """Percentage breakdown like asmc::printPctTime (HmmUtils.cpp:96-100).
+
+        Prints to stdout by default (the reference prints after decodeAll);
+        pass ``out=None`` to only return the text."""
+        import sys
         total = self.total()
         lines = []
         accounted = 0.0
         for name, v in self.acc.items():
-            lines.append(f"Time in {name:<14} : {100.0 * v / total:5.1f}%")
+            lines.append(f"Time in {name:<14} : {100.0 * v / total:5.1f}%"
+                         f"  ({v:.2f}s)")
             accounted += v
         lines.append(f"Time in {'other':<14} : "
-                     f"{100.0 * (total - accounted) / total:5.1f}%")
+                     f"{100.0 * (total - accounted) / total:5.1f}%"
+                     f"  ({total - accounted:.2f}s)")
         text = "\n".join(lines)
         if out is not None:
-            print(text, file=out)
+            print(text, file=sys.stdout if out == "stdout" else out)
         return text

@@ -92,3 +92,28 @@ def test_levels():
     s = np.array([[0.6, 0.06, 0.006, 0.0006, 0.00001]], dtype=np.float32)
     lvl = seg.levels_from_sums(s, 0.0005)
     assert lvl.tolist() == [[0, 1, 2, 3, 4]]
+
+
+def test_device_extraction_matches_host():
+    """extract_segments_device (in-jit levels/boundaries + indicator-einsum
+    reductions) must reproduce the host path on random windows, including
+    the batch-union window semantics (s0/s1 masking)."""
+    rng = np.random.default_rng(7)
+    T, K, P = 256, 8, 16
+    prob = 0.001
+    for trial, (s0, s1) in enumerate([(0, 256), (17, 201), (100, 101)]):
+        post = rng.random((T, K, P)).astype(np.float32)
+        post /= post.sum(axis=1, keepdims=True)
+        scale = rng.choice([1e-6, 1e-2, 1e-1, 0.5, 1.0], size=(T, P))
+        sums = (post[:, :4].sum(axis=1) * scale).astype(np.float32)
+
+        want = seg.extract_segments(sums[s0:s1], prob, 5 + s0,
+                                    post[s0:s1], K)
+        got, cap = seg.extract_segments_device(
+            sums, post, prob, s0, s1, 5, K, cap=8)  # tiny cap: growth path
+        assert cap >= 8
+        assert len(got) == len(want), f"window {trial}"
+        for g, w in zip(got, want):
+            assert (g.pair, g.start, g.end) == (w.pair, w.start, w.end)
+            np.testing.assert_allclose(g.score_sum, w.score_sum, rtol=1e-5)
+            np.testing.assert_allclose(g.pps, w.pps, rtol=1e-4)

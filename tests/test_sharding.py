@@ -128,10 +128,30 @@ def test_multihost_fastsmc_tiles_cover_single_job(synthetic_panel_root):
     assert len(single_ids) > 0
 
 
+def assert_ibd_equal(got: str, want: str, rtol: float = 2e-5):
+    """Token-wise IBD-file comparison: identity columns exactly, float
+    columns to `rtol` — the single-device run extracts segments on host
+    (f64-differencing scores) while the mesh run extracts on device
+    (f32 HIGHEST indicator-einsum, engine/segments.py), so the score's
+    last printed digit may differ. The reference's own python regression
+    compares float columns with allclose too (test_regression.py:15-113)."""
+    gl, wl = got.splitlines(), want.splitlines()
+    assert len(gl) == len(wl), f"{len(gl)} vs {len(wl)} lines"
+    for g, w in zip(gl, wl):
+        gt, wt = g.split("\t"), w.split("\t")
+        assert len(gt) == len(wt), (g, w)
+        for a, b in zip(gt, wt):
+            if a == b:
+                continue
+            fa, fb = float(a), float(b)   # raises -> genuine mismatch
+            assert abs(fa - fb) <= rtol * max(abs(fa), abs(fb)), (g, w)
+
+
 def test_fastsmc_mesh_pipeline_matches_single_device(synthetic_panel_root):
-    """The production FastSMC pipeline with mesh=N produces byte-identical
-    IBD output to the single-device run (per-pair math is independent of
-    how the batch is sharded)."""
+    """The production FastSMC pipeline with mesh=N produces the same IBD
+    output as the single-device run (per-pair math is independent of how
+    the batch is sharded; scores compared to float tolerance — see
+    assert_ibd_equal)."""
     import gzip
 
     import jax
@@ -153,7 +173,7 @@ def test_fastsmc_mesh_pipeline_matches_single_device(synthetic_panel_root):
 
     single = run("sd_single", None)
     sharded = run("sd_mesh", make_mesh(4))
-    assert sharded == single
+    assert_ibd_equal(sharded, single)
     assert single.count("\n") > 0
 
 
