@@ -126,7 +126,8 @@ def _run_asmc(args):
             or args.perPairPosteriorMeans or args.perPairMAP
             or args.expectedCoalTimesFile):
         sys.exit("ERROR: At least one of --posteriorSums, "
-                 "--majorMinorPosteriorSums, must be specified")
+                 "--majorMinorPosteriorSums, --perPairPosteriorMeans, "
+                 "--perPairMAP, --expectedCoalTimesFile must be specified")
     params = DecodingParams.asmc(
         args.inFileRoot, args.decodingQuantFile, args.outFileRoot,
         jobs=args.jobs, job_ind=args.jobInd, decoding_mode=args.mode,

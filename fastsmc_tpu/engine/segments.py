@@ -261,7 +261,11 @@ def extract_segments_device(
         n = int(n)
         if n <= cap_eff or cap_eff == T * P:
             break
-        cap = cap_eff * 4
+        # the first dispatch already told us the true count — jump straight
+        # to the power-of-two bucket that fits it (at most ONE re-dispatch,
+        # and caps stay bucketed so compiles stay log-many)
+        while cap < n:
+            cap *= 2
     idx = np.asarray(idx)[:n]
     lv = np.asarray(lv)[:n]
     t_bounds = time.time()

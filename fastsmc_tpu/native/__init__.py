@@ -9,6 +9,7 @@ native path is a several-hundred-fold speedup for the host-side hot loops.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sysconfig
@@ -54,7 +55,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         flags = tuple(os.environ.get("FASTSMC_NATIVE_CXXFLAGS", "").split())
         lib_path = _LIB_PATH
         if flags:
-            tag = "%08x" % (hash(flags) & 0xFFFFFFFF)
+            # stable digest (builtin hash() is salted per process and
+            # would rebuild + orphan a new .so every interpreter run)
+            tag = hashlib.sha1(" ".join(flags).encode()).hexdigest()[:8]
             lib_path = os.path.join(_BUILD_DIR, f"libfastsmc_native.{tag}.so")
         src_mtime = os.path.getmtime(_SRC)
         if (not os.path.exists(lib_path)

@@ -17,11 +17,22 @@ import numpy as np
 
 
 def sync(result) -> None:
-    """Force completion of `result` (any pytree) by pulling one leaf
-    slice to host."""
+    """Force completion of `result` (any pytree) by pulling bytes to host.
+
+    For a sharded result, one element is materialized from EVERY
+    addressable shard (each device has its own in-order queue; fencing
+    only shard 0's device would not cover the others). Unsharded leaves
+    fall back to a 1-element slice, which fences the single device's
+    queue."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(result)[0]
+    shards = getattr(leaf, "addressable_shards", None)
+    if shards is not None and len(shards) > 1:
+        for s in shards:
+            d = s.data
+            np.asarray(d[(0,) * d.ndim] if d.ndim else d)
+        return
     np.asarray(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
 
 
