@@ -36,12 +36,26 @@ chunk boundary carry over as synthetic events (pair, w_evt = chunk_start-1,
 ext = current match end, original w0), so results are independent of chunk
 size; event-buffer capacity grows by powers of two on overflow.
 
-Scope: exact pair/segment parity with the host/native scans for
-``max_seeds == 0`` (including ``gap``, ``skip``, MAF filtering,
-haploid/diploid folding, triangular job windows; validated in
-tests/test_hashing_vectorized.py).  ``max_seeds > 0`` (recursive
-sub-hashing, SeedHash.hpp:56-93) falls back to the host scan — the bucket
-capping recursion is a CPU-hash recall heuristic with no TPU benefit.
+Scope: exact pair/segment parity with the host/native scans (including
+``gap``, ``skip``, MAF filtering, haploid/diploid folding, triangular job
+windows, and ``max_seeds > 0`` recursive sub-hashing; validated in
+tests/test_hashing_vectorized.py).
+
+Sub-hashing (SeedHash.hpp:56-93) runs level by level: buckets larger than
+``max_seeds`` whose read-ahead horizon allows it (``w + d + 1 <
+min(total_words, w + const_read_ahead)``) are re-keyed on the next word by
+a second stable sort pass over the affected rows; buckets at the horizon
+enumerate all their pairs (the reference's "seed not analyzed" branch is
+dead code — its condition is subsumed by the outer recursion guard).  A
+sub-hash collision at depth d extends the match end to ``w + d`` while the
+match still *starts* at the current word (ExtendHash.hpp:75-81), so run
+detection tracks a running end M per match: ``M_b = max(ext_b, u)`` where
+u is the last skip word since the previous collision (skip words OVERWRITE
+every active end, ExtendHash::extendAllPairsTo) or ``max(ext_b, M_a)``
+with no intervening skip.  M is computed by a monotone fixpoint (link
+flags -> segmented cummax of ext over (run, skip-epoch) segments -> link
+flags) that converges to the exact sequential semantics; with
+``max_seeds == 0`` it converges in one pass because M == ext == word.
 
 When to use which (scripts/hashing_scale_probe.py): the native C++ host
 scan is much faster in wall-clock terms — GERMLINE2 is linear and
@@ -153,27 +167,92 @@ def _tri_decode(r):
     return a, b
 
 
+def _bucket_sizes(newbkt):
+    """[Wc, H] bucket-start flags -> (bucket id per position, bucket size
+    per position)."""
+    Wc, H = newbkt.shape
+    bid = jnp.cumsum(newbkt.astype(jnp.int32), axis=1) - 1     # [Wc, H]
+    sizes = jax.vmap(
+        lambda s: jax.ops.segment_sum(jnp.ones(H, jnp.int32), s,
+                                      num_segments=H))(bid)
+    return bid, jnp.take_along_axis(sizes, bid, axis=1)
+
+
+@jax.jit
+def _level_masks(newbkt, base_ok, horizon, max_seeds):
+    """Per-level bucket dispositions (SeedHash.hpp:84-99).
+
+    newbkt [Wc, H]: bucket-start flags; base_ok [Wc, H]: position eligible
+    (level 0: word not low-complexity-skipped; level >= 1: row belongs to a
+    carried bucket); horizon [Wc]: the read-ahead buffer holds the next
+    word (w + d + 1 < min(total_words, w + const_read_ahead)).
+
+    Returns (emit [Wc, H] at bucket starts, carried_here [Wc, H] per
+    position, group [Wc, H] for the next level: dense bucket id on carried
+    rows, unique negatives elsewhere, any_carry scalar).
+    """
+    Wc, H = newbkt.shape
+    bid, size_here = _bucket_sizes(newbkt)
+    oversized = (max_seeds > 0) & (size_here > max_seeds)
+    start_ok = newbkt & base_ok
+    carry_start = start_ok & oversized & horizon[:, None]
+    emit = start_ok & ~(oversized & horizon[:, None])
+    # broadcast the bucket-start carry flag to every member position
+    carried_per_bucket = jax.vmap(
+        lambda c, s: jax.ops.segment_max(c.astype(jnp.int32), s,
+                                         num_segments=H))(carry_start, bid)
+    carried_here = jnp.take_along_axis(carried_per_bucket, bid,
+                                       axis=1).astype(bool)
+    pos = jnp.arange(H, dtype=jnp.int32)[None, :]
+    group = jnp.where(carried_here, bid, -1 - pos)
+    return emit, carried_here, group, carry_start.any()
+
+
+@jax.jit
+def _subhash_level(order, group, hi_next, lo_next):
+    """One sub-hash recursion level (SeedHash::subHash): re-key carried
+    buckets on the next word with a stable LSD sort by (parent bucket,
+    word value); rows with group < 0 keep unique singleton buckets.
+
+    order/group [Wc, H] in the previous level's sorted layout; hi_next/
+    lo_next [H, Wc] are the halves of each row's word at w + d.
+    Returns (order', newbkt', group_sorted').
+    """
+
+    def one_word(o, g, hi_col, lo_col):
+        khi = hi_col[o]
+        klo = lo_col[o]
+        p1 = jnp.argsort(klo, stable=True)
+        p2 = p1[jnp.argsort(khi[p1], stable=True)]
+        perm = p2[jnp.argsort(g[p2], stable=True)]
+        og = g[perm]
+        ohi = khi[perm]
+        olo = klo[perm]
+        same = ((og[1:] == og[:-1]) & (ohi[1:] == ohi[:-1])
+                & (olo[1:] == olo[:-1]))
+        newbkt = jnp.concatenate([jnp.ones(1, bool), ~same])
+        return o[perm], newbkt, og
+
+    return jax.vmap(one_word, in_axes=(0, 0, 1, 1))(order, group,
+                                                    hi_next, lo_next)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cap", "haploid", "window"))
-def _enumerate_events(order, newbkt, skip_flags, id_num, w0c, cap: int,
+def _enumerate_events(order, newbkt, emit, id_num, w0c, cap: int,
                       haploid: bool, window):
-    """Collision events for one chunk.
+    """Collision events for one chunk level.
 
-    order/newbkt: [Wc, H] from :func:`_bucketize`; skip_flags: [Wc] bool.
+    order/newbkt: [Wc, H] sorted layout; emit: [Wc, H] bucket-start flags
+    of buckets whose pairs enumerate at this level.
     Returns (ki, kj, w_evt, total): folded pair keys ki <= kj with invalid
     slots marked BIG; ``total`` is the true event count (may exceed cap, in
     which case the host grows the buffer and retries).
     """
     Wc, H = order.shape
 
-    bid = jnp.cumsum(newbkt.astype(jnp.int32), axis=1) - 1     # [Wc, H]
-    sizes = jax.vmap(
-        lambda s: jax.ops.segment_sum(jnp.ones(H, jnp.int32), s,
-                                      num_segments=H))(bid)
-    size_here = jnp.take_along_axis(sizes, bid, axis=1)        # [Wc, H]
-
-    cnt = jnp.where(newbkt & ~skip_flags[:, None],
-                    size_here * (size_here - 1) // 2, 0)
+    _, size_here = _bucket_sizes(newbkt)
+    cnt = jnp.where(emit, size_here * (size_here - 1) // 2, 0)
     cum = jnp.cumsum(cnt.reshape(-1))                          # [Wc*H] int32
     total = cum[-1]
 
@@ -219,15 +298,26 @@ def _enumerate_events(order, newbkt, skip_flags, id_num, w0c, cap: int,
 
 
 @jax.jit
-def _detect_runs(ki, kj, w_evt, ext, w0s, N, U, LS, Dsk,
+def _detect_runs(ki, kj, w_evt, ext, w0s, N, U, LS, Dsk, EC,
                  tab_lo, chunk_end, gap):
     """Sort events by (pair, word) and aggregate into match runs.
 
     Event fields [E] int32 (ki = BIG marks invalid).  Real collisions have
-    ext = w_evt and w0s = w_evt; carried synthetic events have
-    w_evt = chunk_start-1, ext = carried match end, w0s = original w0.
-    Tables are indexed by (word - tab_lo); chunk_end is the first word of
-    the next chunk.
+    w0s = w_evt and ext = w_evt + subhash_depth (>= w_evt); carried
+    synthetic events have w_evt = chunk_start-1, ext = carried match end,
+    w0s = original w0.  Tables are indexed by (word - tab_lo); EC counts
+    skip words <= each table word; chunk_end is the first word of the
+    next chunk.
+
+    The running match end M (module docstring) is solved by a monotone
+    fixpoint: init M = ext (a lower bound), then alternate (a) link flags
+    from M via the death rule, (b) M from the link segmentation via a
+    segmented cummax of ext over (run, skip-epoch) segments plus the
+    last-skip overwrite term.  Both maps are monotone and the system is
+    causal in event order, so chaotic iteration from below converges to
+    the unique sequential solution; iteration count is bounded by the
+    events of one pair inside a read_ahead+gap window (1 extra pass when
+    max_seeds == 0).
     """
     E = ki.shape[0]
     o = jnp.argsort(w_evt, stable=True)
@@ -252,7 +342,49 @@ def _detect_runs(ki, kj, w_evt, ext, w0s, N, U, LS, Dsk,
         return jnp.where(unext < vstar, dsk, vstar)
 
     same = (ki[1:] == ki[:-1]) & (kj[1:] == kj[:-1]) & valid[1:] & valid[:-1]
-    link = same & (w_evt[1:] <= death(ext[:-1], w_evt[:-1]))
+    epoch = tab(EC, w_evt, 0)                        # skips <= w_evt
+    u_last = tab(LS, w_evt, -1)                      # last skip < w_evt
+
+    def links_from_m(M):
+        return same & (w_evt[1:] <= death(M[:-1], w_evt[:-1]))
+
+    def seg_scan(vals, starts, combine_val):
+        # segmented scan: starts reset the carry
+        def op(a, b):
+            va, sa = a
+            vb, sb = b
+            return jnp.where(sb, vb, combine_val(va, vb)), sa | sb
+        out, _ = jax.lax.associative_scan(op, (vals, starts))
+        return out
+
+    def m_from_links(link):
+        brk = jnp.concatenate([jnp.ones(1, bool), ~link])
+        # epoch change within a run == a skip word passed between events
+        ep_chg = jnp.concatenate(
+            [jnp.ones(1, bool), epoch[1:] != epoch[:-1]])
+        seg_start = brk | ep_chg
+        seg_max = seg_scan(ext, seg_start, jnp.maximum)
+        w_first = seg_scan(w_evt, brk, lambda a, b: a)  # run's first word
+        # skip overwrite applies iff it happened while this match was alive
+        u_term = jnp.where((u_last > w_first) & (u_last >= 0), u_last, -BIG)
+        return jnp.maximum(seg_max, u_term)
+
+    link0 = links_from_m(ext)
+
+    def cond(state):
+        link, _, changed, it = state
+        return changed & (it < jnp.int32(64))
+
+    def body(state):
+        link, _, _, it = state
+        M = m_from_links(link)
+        link2 = links_from_m(M)
+        return link2, M, jnp.any(link2 != link), it + 1
+
+    link, M, changed, _ = jax.lax.while_loop(
+        cond, body, (link0, m_from_links(link0), jnp.bool_(True),
+                     jnp.int32(0)))
+
     brk = jnp.concatenate([jnp.ones(1, bool), ~link])
     run_id = jnp.cumsum(brk.astype(jnp.int32)) - 1
 
@@ -269,20 +401,21 @@ def _detect_runs(ki, kj, w_evt, ext, w0s, N, U, LS, Dsk,
     r_kj = kj[first_c]
     r_w0 = w0s[first_c]
     w_last = w_evt[last_c]
-    e_last = ext[last_c]
+    m_last = M[last_c]
     run_valid = run_valid & (r_ki < BIG)
-    D = death(e_last, w_last)
+    D = death(m_last, w_last)
     dead = run_valid & (D < chunk_end)
     alive = run_valid & ~dead
 
-    # final match end: last skip word in (w_last, stop) if any, else e_last
+    # final match end: the last skip word in (w_last, stop) OVERWRITES the
+    # running end (even downward, ExtendHash::extendAllPairsTo); else M
     def final_w1(stop):
         u = tab(LS, stop - 1, -1)
-        return jnp.where((u > w_last) & (u < stop), u, e_last)
+        return jnp.where((u > w_last) & (u < stop), u, m_last)
 
     w1_dead = final_w1(D)
     w1_carry = final_w1(jnp.full_like(D, chunk_end))
-    return r_ki, r_kj, r_w0, D, dead, alive, w1_dead, w1_carry
+    return r_ki, r_kj, r_w0, D, dead, alive, w1_dead, w1_carry, changed
 
 
 def _pow2(n: int) -> int:
@@ -310,10 +443,32 @@ class VectorizedHashingScan(HashingScan):
         self.chunk_words = chunk_words
         self.capacity = capacity
 
+    def _enumerate_level(self, order, newbkt, emit, id_num, cs, window,
+                         verbose):
+        """Enumerate one level's events with buffer-growth retry; returns
+        host arrays (ki, kj, w_evt)."""
+        p = self.params
+        while True:
+            ki, kj, w_evt, total = _enumerate_events(
+                order, newbkt, emit, id_num, np.int32(cs),
+                self._cap, p.haploid, window)
+            total = int(total)
+            if total < 0:
+                raise RuntimeError(
+                    "hashing chunk overflows int32 event count; "
+                    "reduce chunk_words")
+            if total <= self._cap:
+                break
+            self._cap = _pow2(total)
+            if verbose:
+                print(f"hashing event buffer grown to {self._cap}")
+        n_real = min(total, self._cap)
+        return (np.asarray(ki)[:n_real].astype(np.int64),
+                np.asarray(kj)[:n_real].astype(np.int64),
+                np.asarray(w_evt, np.int64)[:n_real])
+
     def run(self, verbose: bool = False, use_native: bool = True) -> None:
         p = self.params
-        if p.max_seeds != 0:
-            return super().run(verbose=verbose, use_native=use_native)
 
         H, W = self.words.shape
         if W == 0 or H == 0:
@@ -329,11 +484,20 @@ class VectorizedHashingScan(HashingScan):
                   if wnd is not None else None)
 
         Wc = self.chunk_words if self.chunk_words > 0 else W
-        cap = _pow2(self.capacity)
+        self._cap = _pow2(self.capacity)
         gap = p.gap
+        ms = jnp.int32(p.max_seeds)
+        cra = int(p.const_read_ahead)
 
         carry = np.zeros((4, 0), np.int64)   # ki, kj, w0, w1
         segments = []                        # (flush_word, w0, ki, kj, w1)
+
+        def horizon(cs, ce, d):
+            # recursion from level d to d+1 at word w needs
+            # w + d + 1 < min(W, w + const_read_ahead)  (FastSMC.cpp:189,
+            # SeedHash.hpp:88)
+            w = np.arange(cs, ce)
+            return jnp.asarray((d + 1 < cra) & (w + d + 1 < W))
 
         cs = 0
         while cs < W:
@@ -342,27 +506,40 @@ class VectorizedHashingScan(HashingScan):
                 jnp.asarray(hi_all[:, cs:ce]),
                 jnp.asarray(lo_all[:, cs:ce]))
             skip_np = ~(np.asarray(seeds) / H > p.skip)
-            skip_dev = jnp.asarray(skip_np)
-            while True:
-                ki, kj, w_evt, total = _enumerate_events(
-                    order, newbkt, skip_dev, id_num, np.int32(cs),
-                    cap, p.haploid, window)
-                total = int(total)
-                if total < 0:
-                    raise RuntimeError(
-                        "hashing chunk overflows int32 event count; "
-                        "reduce chunk_words")
-                if total <= cap:
-                    break
-                cap = _pow2(total)
-                if verbose:
-                    print(f"hashing event buffer grown to {cap}")
 
-            n_real = min(total, cap)
-            ki = np.asarray(ki)[:n_real].astype(np.int64)
-            kj = np.asarray(kj)[:n_real].astype(np.int64)
-            w_evt = np.asarray(w_evt, np.int64)[:n_real]
-            ext = w_evt.copy()
+            base_ok = jnp.broadcast_to(~jnp.asarray(skip_np)[:, None],
+                                       (ce - cs, H))
+            ki_l, kj_l, w_l, ext_l = [], [], [], []
+            d = 0
+            while True:
+                emit, carried, group, any_carry = _level_masks(
+                    newbkt, base_ok, horizon(cs, ce, d), ms)
+                eki, ekj, ewe = self._enumerate_level(
+                    order, newbkt, emit, id_num, cs, window, verbose)
+                ki_l.append(eki)
+                kj_l.append(ekj)
+                w_l.append(ewe)
+                ext_l.append(ewe + d)
+                if not bool(any_carry):
+                    break
+                d += 1
+                # level-d keys: each word w re-keys on column w + d
+                sl = slice(cs + d, min(W, ce + d))
+                pad = (ce - cs) - (sl.stop - sl.start)
+                hi_n = hi_all[:, sl]
+                lo_n = lo_all[:, sl]
+                if pad:  # columns past the panel never carry (horizon)
+                    z = np.zeros((H, pad), np.uint32)
+                    hi_n = np.concatenate([hi_n, z], axis=1)
+                    lo_n = np.concatenate([lo_n, z], axis=1)
+                order, newbkt, group = _subhash_level(
+                    order, group, jnp.asarray(hi_n), jnp.asarray(lo_n))
+                base_ok = group >= 0
+
+            ki = np.concatenate(ki_l)
+            kj = np.concatenate(kj_l)
+            w_evt = np.concatenate(w_l)
+            ext = np.concatenate(ext_l)
             w0s = w_evt.copy()
 
             if carry.shape[1]:
@@ -385,7 +562,11 @@ class VectorizedHashingScan(HashingScan):
 
             tab_lo = cs - 1
             N, U, LS, Dsk = _death_tables(skip_np, tab_lo, gap)
-            (r_ki, r_kj, r_w0, D, dead, alive, w1_dead, w1_carry) = (
+            flags = np.zeros(len(skip_np) + 1, bool)
+            flags[1:] = skip_np
+            EC = np.cumsum(flags).astype(np.int32)  # skips <= tab word
+            (r_ki, r_kj, r_w0, D, dead, alive, w1_dead, w1_carry,
+             m_changed) = (
                 np.asarray(x) for x in _detect_runs(
                     jnp.asarray(ki, jnp.int32), jnp.asarray(kj, jnp.int32),
                     jnp.asarray(w_evt, jnp.int32),
@@ -393,7 +574,12 @@ class VectorizedHashingScan(HashingScan):
                     jnp.asarray(w0s, jnp.int32),
                     jnp.asarray(N, jnp.int32), jnp.asarray(U, jnp.int32),
                     jnp.asarray(LS, jnp.int32), jnp.asarray(Dsk, jnp.int32),
+                    jnp.asarray(EC),
                     np.int32(tab_lo), np.int32(ce), np.int32(gap)))
+            if bool(m_changed):
+                raise RuntimeError(
+                    "run-detection fixpoint did not converge in 64 "
+                    "iterations (pathological sub-hash chain)")
 
             for i in np.flatnonzero(dead):
                 segments.append((int(D[i]), int(r_w0[i]), int(r_ki[i]),

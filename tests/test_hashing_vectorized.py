@@ -166,13 +166,118 @@ def test_capacity_growth():
     assert sorted(small) == sorted(segments_host(p, data))
 
 
-def test_max_seeds_falls_back_to_host():
-    bits, cm = random_panel(12)
+def clustered_panel(seed, n_haps=24, words=10, cluster=8):
+    """Panel with an oversized seed cluster so max_seeds sub-hashing
+    actually recurses: `cluster` haps share words 2..5 exactly, with a
+    planted sub-structure at words 3..6 splitting them into two groups."""
+    rng = np.random.default_rng(seed)
+    sites = 64 * words
+    bits = rng.integers(0, 2, (n_haps, sites)).astype(np.uint8)
+    for h in range(1, cluster):
+        bits[h, 64 * 2:64 * 3] = bits[0, 64 * 2:64 * 3]
+    for h in range(1, cluster // 2):
+        bits[h, 64 * 3:64 * 7] = bits[0, 64 * 3:64 * 7]
+    for h in range(cluster // 2 + 1, cluster):
+        bits[h, 64 * 3:64 * 6] = bits[cluster // 2, 64 * 3:64 * 6]
+    cm = np.linspace(0, 50, sites)
+    return bits, cm
+
+
+@pytest.mark.parametrize("max_seeds", [1, 2, 3, 5])
+def test_max_seeds_parity(max_seeds):
+    bits, cm = clustered_panel(12)
     data = make_data(bits, cm)
-    p = params_for(min_m=1.0, max_seeds=2)
-    out = segments_vec(p, data)
-    # fallback executes the host scan (python path when native unavailable)
-    ref = []
-    scan = HashingScan(p, data, lambda a, b, f, t: ref.append((a, b, f, t)))
-    scan.run()
-    assert sorted(out) == sorted(ref)
+    p = params_for(min_m=1.0, max_seeds=max_seeds)
+    assert sorted(segments_vec(p, data)) == sorted(segments_host(p, data))
+
+
+@pytest.mark.parametrize("gap", [0, 1, 3])
+def test_max_seeds_with_gap(gap):
+    bits, cm = clustered_panel(13)
+    data = make_data(bits, cm)
+    p = params_for(min_m=1.0, max_seeds=2, gap=gap)
+    assert sorted(segments_vec(p, data)) == \
+        sorted(segments_host(p, data)), f"gap={gap}"
+
+
+def test_max_seeds_with_skip_words():
+    # skip words interleaved with sub-hashed clusters exercise the
+    # end-overwrite (extendAllPairsTo) against sub-hash-extended ends
+    rng = np.random.default_rng(14)
+    sites = 64 * 12
+    n_haps = 20
+    bits = rng.integers(0, 2, (n_haps, sites)).astype(np.uint8)
+    for h in range(1, 9):
+        bits[h, 64 * 2:64 * 3] = bits[0, 64 * 2:64 * 3]
+    for h in range(1, 5):
+        bits[h, 64 * 3:64 * 8] = bits[0, 64 * 3:64 * 8]
+    bits[:, 64 * 5:64 * 7] = np.tile(bits[0:1, 64 * 5:64 * 7], (n_haps, 1))
+    cm = np.linspace(0, 60, sites)
+    data = make_data(bits, cm)
+    for skip in (0.0, 0.3, 0.9):
+        p = params_for(min_m=1.0, max_seeds=2, skip=skip, gap=1)
+        assert sorted(segments_vec(p, data)) == \
+            sorted(segments_host(p, data)), f"skip={skip}"
+
+
+@pytest.mark.parametrize("read_ahead", [1, 2, 3, 10])
+def test_max_seeds_read_ahead_horizon(read_ahead):
+    # small const_read_ahead stops the recursion early; buckets at the
+    # horizon enumerate all pairs (SeedHash.hpp:88 outer guard)
+    bits, cm = clustered_panel(15, cluster=10)
+    data = make_data(bits, cm)
+    p = params_for(min_m=1.0, max_seeds=2, const_read_ahead=read_ahead)
+    assert sorted(segments_vec(p, data)) == \
+        sorted(segments_host(p, data)), f"read_ahead={read_ahead}"
+
+
+@pytest.mark.parametrize("chunk_words", [1, 2, 3, 5])
+def test_max_seeds_chunking_invariant(chunk_words):
+    bits, cm = clustered_panel(16)
+    data = make_data(bits, cm)
+    p = params_for(min_m=1.0, max_seeds=2, gap=1)
+    host = segments_host(p, data)
+    assert sorted(segments_vec(p, data)) == sorted(host)
+    assert sorted(segments_vec(p, data, chunk_words=chunk_words)) == \
+        sorted(host), f"chunk_words={chunk_words}"
+
+
+def test_max_seeds_diploid_and_windows():
+    rng = np.random.default_rng(17)
+    sites = 64 * 8
+    n_ind = 10
+    bits = rng.integers(0, 2, (2 * n_ind, sites)).astype(np.uint8)
+    for h in range(1, 8):
+        bits[h, 64 * 2:64 * 5] = bits[0, 64 * 2:64 * 5]
+    cm = np.linspace(0, 40, sites)
+    data = make_data(bits, cm)
+    p = params_for(min_m=1.0, max_seeds=2, haploid=False)
+    assert sorted(segments_vec(p, data)) == sorted(segments_host(p, data))
+    for jobs, job_ind in [(4, 1), (4, 4)]:
+        w = JobWindows.compute(n_ind, jobs, job_ind)
+        in_job = [d for d in range(n_ind) if w.sample_in_job(d)]
+        rows = np.array([h for d in in_job for h in (2 * d, 2 * d + 1)])
+        dw = make_data(bits[rows], cm, windows=w, sample_size=n_ind)
+        pw = params_for(min_m=1.0, max_seeds=2, jobs=jobs, job_ind=job_ind)
+        assert sorted(segments_vec(pw, dw)) == \
+            sorted(segments_host(pw, dw)), f"job {job_ind}/{jobs}"
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22, 23])
+def test_max_seeds_randomized_parity(seed):
+    # random panels with low max_seeds force recursion on natural clusters
+    rng = np.random.default_rng(seed)
+    sites = 64 * 9
+    n_haps = 18
+    # low-entropy words (4 distinct patterns) make big buckets everywhere
+    patterns = rng.integers(0, 2, (4, sites)).astype(np.uint8)
+    bits = patterns[rng.integers(0, 4, n_haps)]
+    flips = rng.random((n_haps, sites)) < 0.02
+    bits = np.bitwise_xor(bits, flips.astype(np.uint8))
+    cm = np.linspace(0, 45, sites)
+    data = make_data(bits, cm)
+    for ms in (1, 2):
+        for gap in (0, 2):
+            p = params_for(min_m=1.0, max_seeds=ms, gap=gap, skip=0.05)
+            assert sorted(segments_vec(p, data)) == \
+                sorted(segments_host(p, data)), f"ms={ms} gap={gap}"
