@@ -36,7 +36,8 @@ engine/dense.py):
 K (number of TMRCA states) must be <= 128; compute is padded to Kc = 128
 lanes. All math float32 (reference NO_SSE semantics) at matmul precision
 HIGHEST by default; ``precision="fast"`` trades ~1e-3 posterior error for
-~2x matmul throughput (bf16x3 instead of bf16x6 MXU passes).
+higher matmul throughput (single-pass bf16 instead of the bf16x6
+f32-emulation; see _PRECISIONS).
 """
 
 from __future__ import annotations
@@ -58,13 +59,16 @@ KC = 128  # padded state (compute) dimension
 _PRECISIONS = {
     # reference NO_SSE semantics: f32-faithful matmul (bf16x6 MXU passes)
     "highest": jax.lax.Precision.HIGHEST,
-    # bf16x3: ~2x matmul throughput, ~1e-3 posterior error
-    # (Mosaic does not lower Precision.HIGH; DEFAULT is bf16x3 on TPU)
+    # measured on the v5e chip (scripts/precision_probe.py): DEFAULT is a
+    # SINGLE-PASS bf16 matmul — bitwise equal to explicitly casting the
+    # operands to bf16 (there is no bf16x3 tier; Mosaic cannot lower
+    # Precision.HIGH). The per-step normalization keeps the recursion
+    # stable; posterior error ~6e-3, segment-level output quality pinned
+    # by PROFILE_ACCURACY.json (bp-F1 0.998 vs exact).
     "fast": jax.lax.Precision.DEFAULT,
-    # pure-bf16 operands, single MXU pass (~3x "fast" matmul throughput,
-    # ~197 vs 66 TFLOP/s on v5e); the per-step normalization keeps the
-    # recursion stable, posterior error ~1e-2 — segment-level output
-    # quality is pinned by scripts/profile_accuracy_probe.py
+    # "turbo" additionally stores the operator blocks in bf16 (half the
+    # operator DMA); its matmul results are bitwise identical to "fast"
+    # because DEFAULT already rounds operands to bf16.
     "turbo": jax.lax.Precision.DEFAULT,
 }
 
@@ -285,8 +289,8 @@ class PallasDecoder:
       steps_per_block: genome sites unrolled per Pallas grid step (None =
         auto from the VMEM budget; reduced to a divisor of the window).
       precision: "highest" (default; reference NO_SSE semantics, ~5e-7
-        posterior error), "fast" (bf16x3, ~1e-3 error, ~2x matmul
-        throughput).
+        posterior error), "fast" (single-pass bf16 matmuls + bf16 alpha
+        store, ~6e-3 error, ~3x decode throughput).
       alpha_dtype: jnp.float32 (default) or jnp.bfloat16 for the stored
         forward messages (~1e-3 posterior error, half the HBM traffic).
     """

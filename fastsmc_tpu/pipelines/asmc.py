@@ -97,7 +97,7 @@ class ASMC:
                  decode_profile: str = "exact",
                  mesh=None):
         """decode_profile: "exact" (f32/HIGHEST matmuls, reference NO_SSE
-        numerics) or "fast" (bf16 forward-message store + bf16x3 matmuls,
+        numerics) or "fast" (bf16 forward-message store + bf16 matmuls,
         ~6e-3 posterior error, ~2.5x decode throughput).
         mesh: a ``jax.sharding.Mesh`` to shard each pair batch over
         (pair-parallel over chips, psum'd sums; per-chip Pallas kernels

@@ -70,16 +70,25 @@ class FastSMC:
                  use_pallas: Optional[bool] = None,
                  hashing_backend: str = "host",
                  decode_profile: str = "exact",
-                 mesh=None):
+                 mesh=None,
+                 sort_batches: int = 0):
         """hashing_backend: "host" (streaming scan; native C++ when built,
         Python otherwise) or "device" (sort-based XLA scan,
-        hashing/vectorized.py; falls back to host when max_seeds > 0).
+        hashing/vectorized.py).
         decode_profile: "exact" (reference NO_SSE numerics) or "fast"
-        (bf16 alpha + bf16x3 matmuls, ~6e-3 posterior error, ~2.5x
+        (bf16 alpha + single-pass bf16 matmuls, ~6e-3 posterior error, ~3x
         decode throughput).
         mesh: a ``jax.sharding.Mesh`` to shard each validation batch over
         (pair-parallel over chips; per-chip Pallas kernels on TPU). The
-        batch size must be a multiple of the mesh size."""
+        batch size must be a multiple of the mesh size.
+        sort_batches: buffer this many batches of candidates and sort them
+        by window start before flushing (0 = reference arrival order).
+        The reference decodes each batch over the union of its members'
+        windows (HMM.cpp:560-565, a "permissive" compromise at batch 32);
+        at batch >= 512 one straggler widens everyone, so sorting shrinks
+        the unions and the wasted decoded sites. Output stays within the
+        same permissive-window contract; the candidate stream and batch
+        count remain deterministic (resume-safe)."""
         params.fastsmc = True
         if hashing_backend not in ("host", "device"):
             raise ValueError(f"unknown hashing backend {hashing_backend!r}")
@@ -138,6 +147,16 @@ class FastSMC:
         # device-extraction boundary capacity; grows sticky so batch-heavy
         # runs compile the boundary kernel for at most a few cap buckets
         self._seg_cap = 16384
+        # deferred host finish: while batch N's decode runs on device, the
+        # host processes batch N-1's extraction/emit, keeping the device
+        # busy (execution is in-order, so deferring never reorders results)
+        self._pending = None
+        # candidate sorting buffer (see __init__ docstring)
+        self.sort_batches = sort_batches
+        self._sort_buf: List[Tuple[int, int, int, int]] = []
+        # window-waste accounting (VERDICT r2: measure batch-union waste)
+        self.stats = {"decoded_site_pairs": 0, "union_site_pairs": 0,
+                      "cand_site_pairs": 0, "flushes": 0}
 
     # ------------------------------------------------------------------
     def _open_writer(self, append: bool = False):
@@ -159,13 +178,34 @@ class FastSMC:
     # decodeFromHashing mirror (HMM.cpp:470-502)
     # ------------------------------------------------------------------
     def _on_match(self, id1: int, id2: int, from_pos: int, to_pos: int):
-        nb = self._cpt % self.params.batch_size
+        self._cpt += 1
+        if self.sort_batches > 1:
+            self._sort_buf.append((from_pos, to_pos, id1, id2))
+            if len(self._sort_buf) >= self.sort_batches \
+                    * self.params.batch_size:
+                self._drain_sort_buf(final=False)
+            return
+        self._push(id1, id2, from_pos, to_pos)
+
+    def _push(self, id1, id2, from_pos, to_pos):
+        nb = len(self._batch)
         self._from[nb] = from_pos
         self._to[nb] = to_pos
         self._batch.append(_BatchSlot(id1, id2))
-        self._cpt += 1
         if len(self._batch) == self.params.batch_size:
             self._flush(len(self._batch))
+
+    def _drain_sort_buf(self, final: bool):
+        """Sort buffered candidates by window start and flush full batches;
+        keep a partial batch buffered unless ``final`` (stable sort keeps
+        the stream deterministic for resume)."""
+        buf = sorted(self._sort_buf, key=lambda c: (c[0], c[1]))
+        bs = self.params.batch_size
+        keep = 0 if final else len(buf) % bs
+        emit = buf[:len(buf) - keep] if keep else buf
+        self._sort_buf = buf[len(buf) - keep:] if keep else []
+        for frm, to, id1, id2 in emit:
+            self._push(id1, id2, frm, to)
 
     def _flush(self, n: int):
         if n == 0:
@@ -192,10 +232,29 @@ class FastSMC:
             hap2 = np.concatenate([hap2, np.full(fill, hap2[-1], np.int32)])
         t_len = bucket_len(to - frm)
 
+        self.stats["flushes"] += 1
+        self.stats["decoded_site_pairs"] += t_len * p.batch_size
+        self.stats["union_site_pairs"] += (end_batch - start_batch) * n
+        self.stats["cand_site_pairs"] += int(
+            (self._to[:n] - self._from[:n]).sum())
+
         need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
         with self.timer.phase("decode"):
             post, th_sums = self._decode(hap1, hap2, frm, t_len, need_ages)
 
+        # host-side work for the PREVIOUS batch happens while this batch's
+        # decode runs on device (in-order execution keeps results exact)
+        self._finish_pending()
+        self._pending = (th_sums, post, n, frm, start_batch, end_batch,
+                         hap1, hap2, need_ages, self._batch_idx)
+        self._batch.clear()
+
+    def _finish_pending(self):
+        if self._pending is None:
+            return
+        (th_sums, post, n, frm, start_batch, end_batch,
+         hap1, hap2, need_ages, done_idx) = self._pending
+        self._pending = None
         # segment scan window: the batch union [start, end) — the reference's
         # permissive override (HMM.cpp:1199-1204)
         with self.timer.phase("segments"):
@@ -210,7 +269,7 @@ class FastSMC:
                     self.age_threshold, cap=self._seg_cap)
                 segs = [s for s in segs if s.pair < n]
             else:
-                sums_w = th_sums[s0:s1]
+                sums_w = np.asarray(th_sums)[s0:s1]
                 segs = seg.extract_segments(sums_w, self.prob_threshold,
                                             start_batch, None,
                                             self.age_threshold)
@@ -219,14 +278,14 @@ class FastSMC:
                     self._fill_pps(segs, post, frm)
         with self.timer.phase("outputPerPair"):
             self._emit(segs, hap1, hap2)
-        self._batch.clear()
-        self._write_progress()
+        self._write_progress(done_idx)
 
-    def _write_progress(self):
+    def _write_progress(self, done_idx: int):
         """Crash-safe checkpoint: close the current gzip member so the file
-        is valid up to here, record (batches, segments, byte offset), and
-        reopen in append mode. On resume the file is truncated back to the
-        recorded offset, discarding any partially-written member."""
+        is valid up to here, record (finished batches, segments, byte
+        offset), and reopen in append mode. On resume the file is truncated
+        back to the recorded offset, discarding any partially-written
+        member."""
         import os
         out = self.params.ibd_output_path()
         self._writer.close()
@@ -234,7 +293,7 @@ class FastSMC:
         path = out + ".progress"
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{self._batch_idx} {self.n_segments} {offset}\n")
+            f.write(f"{done_idx} {self.n_segments} {offset}\n")
         os.replace(tmp, path)
         self._open_writer(append=True)
 
@@ -408,7 +467,10 @@ class FastSMC:
                 else:
                     scan = HashingScan(self.params, self.data, self._on_match)
                 scan.run(verbose=verbose)
+            if self._sort_buf:
+                self._drain_sort_buf(final=True)
             self._flush(len(self._batch))
+            self._finish_pending()
         else:
             self._run_no_hashing()
         self._writer.close()
@@ -418,5 +480,12 @@ class FastSMC:
             print(f"[fastsmc] {self.n_segments} segments "
                   f"({self._cpt} candidates) in {time.time() - t0:.2f}s "
                   f"-> {path}")
+            st = self.stats
+            if st["cand_site_pairs"]:
+                dr = st["decoded_site_pairs"] / st["cand_site_pairs"]
+                ur = st["union_site_pairs"] / st["cand_site_pairs"]
+                print(f"[fastsmc] window waste: decoded/candidate "
+                      f"site-pairs = {dr:.2f}x (union/candidate = {ur:.2f}x, "
+                      f"{st['flushes']} flushes)")
             self.timer.report()
         return path

@@ -222,7 +222,9 @@ def test_fastsmc_resume(repo_root, tmp_path, monkeypatch):
     total_batches = f0._batch_idx
     assert total_batches >= 2, "need multiple batches for this test"
 
-    # interrupted run: raise after the first flush
+    # interrupted run: raise after the second flush dispatch (batch 1's
+    # deferred host finish ran inside flush 2, so its checkpoint exists;
+    # batch 2 is lost in flight — exactly the crash the checkpoint covers)
     f1 = FastSMC(make("part"), use_pallas=False)
     orig_flush = f1._flush
 
@@ -231,7 +233,7 @@ def test_fastsmc_resume(repo_root, tmp_path, monkeypatch):
 
     def exploding_flush(n):
         orig_flush(n)
-        if f1._batch_idx >= 1:
+        if f1._batch_idx >= 2:
             raise Boom()
 
     f1._flush = exploding_flush
