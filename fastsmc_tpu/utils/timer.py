@@ -29,6 +29,10 @@ class PhaseTimer:
     def total(self) -> float:
         return time.time() - self.t0
 
+    def totals(self) -> Dict[str, float]:
+        """Accumulated seconds per phase (copy)."""
+        return dict(self.acc)
+
     def report(self, out="stdout") -> str:
         """Percentage breakdown like asmc::printPctTime (HmmUtils.cpp:96-100).
 
