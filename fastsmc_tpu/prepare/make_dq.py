@@ -149,8 +149,17 @@ def prepare_decoding(
         freq_file: Optional[str] = None,
         samples: int = 300,
         mu: float = 1.65e-8,
+        freq_transform: Optional[str] = None,
+        freq_seed: Optional[int] = None,
         verbose: bool = True) -> DecodingQuantities:
-    """Full PREPARE_DECODING pipeline (ASMCprepareDecoding.java:40-346)."""
+    """Full PREPARE_DECODING pipeline (ASMCprepareDecoding.java:40-346).
+
+    freq_transform perturbs the ascertainment frequencies for sensitivity
+    probes (scripts/nohash_ablation.py): "bootstrap" resamples each SNP's
+    minor-allele count binomially at its observed frequency (the sampling
+    noise a different cohort of the same size would show); "shift" mixes
+    each frequency 10% toward 0.5 (a systematic cohort difference).
+    """
     tv, sv = read_demography(demography_file)
     disc = read_discretization(discretization_file)
     if freq_file:
@@ -158,6 +167,19 @@ def prepare_decoding(
     else:
         assert file_root, "need file_root or freq_file for array frequencies"
         freqs = AlleleFrequencies.from_haps(file_root)
+    if freq_transform:
+        rng = np.random.default_rng(freq_seed)
+        n = freqs.allele_counts
+        if freq_transform == "bootstrap":
+            mac = rng.binomial(n, freqs.minor_alleles / n)
+        elif freq_transform == "shift":
+            f2 = 0.9 * (freqs.minor_alleles / n) + 0.1 * 0.5
+            mac = np.round(f2 * n).astype(np.int64)
+        else:
+            raise ValueError(f"unknown freq_transform {freq_transform!r}")
+        mac = np.minimum(np.maximum(mac, 1), n // 2)
+        freqs = AlleleFrequencies(mac / n, mac, n,
+                                  freqs.haploid_sample_size)
     samples = min(samples, freqs.haploid_sample_size)
     transition = Transition(tv, sv, disc)
     if not csfs_file:
