@@ -233,6 +233,15 @@ class HashingScan:
                 gap=p.gap, max_seeds=p.max_seeds, skip=p.skip)
             if res is not None:
                 id1, id2, frm, to = res
+                arr_cb = getattr(self, "array_callback", None)
+                if arr_cb is not None:
+                    # bulk ingestion: one call for the whole candidate
+                    # stream (a biobank chromosome has millions of
+                    # candidates; per-candidate Python calls cost more
+                    # than the device decode)
+                    arr_cb(np.asarray(id1), np.asarray(id2),
+                           np.asarray(frm), np.asarray(to))
+                    return
                 for a, b, f, t in zip(id1, id2, frm, to):
                     self.callback(int(a), int(b), int(f), int(t))
                 return

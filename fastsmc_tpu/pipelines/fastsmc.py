@@ -15,7 +15,7 @@ batching/validation glue in ``HMM::decodeFromHashing`` / ``addToBatch`` /
 
 from __future__ import annotations
 
-import dataclasses
+
 import time
 from typing import List, Optional, Tuple
 
@@ -53,12 +53,6 @@ def get_to_position(genetic_positions: np.ndarray, to_pos: int,
         to_pos += 1
         cum += (g[to_pos] - g[to_pos - 1]) * 100.0
     return min(to_pos + 1, n)
-
-
-@dataclasses.dataclass
-class _BatchSlot:
-    hap1: int
-    hap2: int
 
 
 class FastSMC:
@@ -133,9 +127,12 @@ class FastSMC:
 
         self._writer = None
         self.timer = PhaseTimer()
-        self._batch: List[_BatchSlot] = []
-        self._from = np.zeros(params.batch_size, dtype=np.int64)
-        self._to = np.full(params.batch_size, self.data.sites, dtype=np.int64)
+        bs = params.batch_size
+        self._bh1 = np.zeros(bs, dtype=np.int32)
+        self._bh2 = np.zeros(bs, dtype=np.int32)
+        self._from = np.zeros(bs, dtype=np.int64)
+        self._to = np.full(bs, self.data.sites, dtype=np.int64)
+        self._bn = 0
         self._cpt = 0
         self.n_segments = 0
         # checkpoint/resume (an improvement over the reference, which can
@@ -151,9 +148,11 @@ class FastSMC:
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
         self._pending = None
-        # candidate sorting buffer (see __init__ docstring)
+        # candidate sorting buffer (see __init__ docstring): column arrays
+        # (from, to, id1, id2) accumulated until sort_batches*batch_size
         self.sort_batches = sort_batches
-        self._sort_buf: List[Tuple[int, int, int, int]] = []
+        self._sort_buf: List[Tuple[np.ndarray, ...]] = []
+        self._sort_n = 0
         # window-waste accounting (VERDICT r2: measure batch-union waste)
         self.stats = {"decoded_site_pairs": 0, "union_site_pairs": 0,
                       "cand_site_pairs": 0, "flushes": 0}
@@ -178,41 +177,65 @@ class FastSMC:
     # decodeFromHashing mirror (HMM.cpp:470-502)
     # ------------------------------------------------------------------
     def _on_match(self, id1: int, id2: int, from_pos: int, to_pos: int):
-        self._cpt += 1
+        self._on_matches_array(
+            np.asarray([id1], np.int32), np.asarray([id2], np.int32),
+            np.asarray([from_pos], np.int64), np.asarray([to_pos], np.int64))
+
+    def _on_matches_array(self, id1, id2, from_pos, to_pos):
+        """Bulk candidate ingestion (the native scan delivers the whole
+        stream as arrays; per-candidate Python calls would dominate a
+        biobank run)."""
+        self._cpt += len(id1)
         if self.sort_batches > 1:
-            self._sort_buf.append((from_pos, to_pos, id1, id2))
-            if len(self._sort_buf) >= self.sort_batches \
-                    * self.params.batch_size:
+            self._sort_buf.append((np.asarray(from_pos, np.int64),
+                                   np.asarray(to_pos, np.int64),
+                                   np.asarray(id1, np.int32),
+                                   np.asarray(id2, np.int32)))
+            self._sort_n += len(id1)
+            if self._sort_n >= self.sort_batches * self.params.batch_size:
                 self._drain_sort_buf(final=False)
             return
-        self._push(id1, id2, from_pos, to_pos)
+        self._push_arrays(id1, id2, from_pos, to_pos)
 
-    def _push(self, id1, id2, from_pos, to_pos):
-        nb = len(self._batch)
-        self._from[nb] = from_pos
-        self._to[nb] = to_pos
-        self._batch.append(_BatchSlot(id1, id2))
-        if len(self._batch) == self.params.batch_size:
-            self._flush(len(self._batch))
+    def _push_arrays(self, id1, id2, from_pos, to_pos):
+        bs = self.params.batch_size
+        i, n = 0, len(id1)
+        while i < n:
+            take = min(bs - self._bn, n - i)
+            sl = slice(self._bn, self._bn + take)
+            self._bh1[sl] = id1[i:i + take]
+            self._bh2[sl] = id2[i:i + take]
+            self._from[sl] = from_pos[i:i + take]
+            self._to[sl] = to_pos[i:i + take]
+            self._bn += take
+            i += take
+            if self._bn == bs:
+                self._flush(self._bn)
 
     def _drain_sort_buf(self, final: bool):
         """Sort buffered candidates by window start and flush full batches;
         keep a partial batch buffered unless ``final`` (stable sort keeps
         the stream deterministic for resume)."""
-        buf = sorted(self._sort_buf, key=lambda c: (c[0], c[1]))
+        frm = np.concatenate([c[0] for c in self._sort_buf])
+        to = np.concatenate([c[1] for c in self._sort_buf])
+        id1 = np.concatenate([c[2] for c in self._sort_buf])
+        id2 = np.concatenate([c[3] for c in self._sort_buf])
+        order = np.lexsort((to, frm))      # stable: by from, then to
         bs = self.params.batch_size
-        keep = 0 if final else len(buf) % bs
-        emit = buf[:len(buf) - keep] if keep else buf
-        self._sort_buf = buf[len(buf) - keep:] if keep else []
-        for frm, to, id1, id2 in emit:
-            self._push(id1, id2, frm, to)
+        keep = 0 if final else len(order) % bs
+        emit = order[:len(order) - keep] if keep else order
+        rest = order[len(order) - keep:] if keep else order[:0]
+        self._sort_buf = [(frm[rest], to[rest], id1[rest], id2[rest])] \
+            if keep else []
+        self._sort_n = keep
+        self._push_arrays(id1[emit], id2[emit], frm[emit], to[emit])
 
     def _flush(self, n: int):
         if n == 0:
             return
         if self._batch_idx < self._resume_skip:
             self._batch_idx += 1
-            self._batch.clear()
+            self._bn = 0
             return
         self._batch_idx += 1
         p = self.params
@@ -222,8 +245,8 @@ class FastSMC:
         frm = get_from_position(g, start_batch)
         to = get_to_position(g, end_batch)
 
-        hap1 = np.array([s.hap1 for s in self._batch], dtype=np.int32)
-        hap2 = np.array([s.hap2 for s in self._batch], dtype=np.int32)
+        hap1 = self._bh1[:n].copy()
+        hap2 = self._bh2[:n].copy()
         # pad to a fixed batch width (one jit shape), like the reference pads
         # to a VECX multiple (HMM.cpp:617-621)
         if n < p.batch_size:
@@ -247,7 +270,7 @@ class FastSMC:
         self._finish_pending()
         self._pending = (th_sums, post, n, frm, start_batch, end_batch,
                          hap1, hap2, need_ages, self._batch_idx)
-        self._batch.clear()
+        self._bn = 0
 
     def _finish_pending(self):
         if self._pending is None:
@@ -466,10 +489,11 @@ class FastSMC:
                                                  self._on_match)
                 else:
                     scan = HashingScan(self.params, self.data, self._on_match)
+                    scan.array_callback = self._on_matches_array
                 scan.run(verbose=verbose)
             if self._sort_buf:
                 self._drain_sort_buf(final=True)
-            self._flush(len(self._batch))
+            self._flush(self._bn)
             self._finish_pending()
         else:
             self._run_no_hashing()
