@@ -39,7 +39,7 @@ def main():
 
     assert jax.default_backend() not in ("cpu",)
 
-    KC, KA, S, P, T = 128, 72, 8, 8192, 8192
+    KC, KA, S, P, T = 128, 72, 8, 8192, 4096
     nblk = T // S
     G = 64  # distinct operators
     rng = np.random.default_rng(0)
@@ -52,6 +52,7 @@ def main():
     isp = jnp.asarray(rng.random((1, KC)), jnp.float32)
     ops_idx = jnp.asarray(rng.integers(0, G, T), jnp.int32)
     alpha_in = jnp.asarray(rng.random((T, KA, P)), adt)
+    alpha_small = alpha_in[:T // 8]
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=34 * 1024 * 1024)
 
@@ -113,7 +114,8 @@ def main():
         f = pl.pallas_call(make_fwd(store_every), grid_spec=grid,
                            out_shape=jax.ShapeDtypeStruct(shape, adt),
                            compiler_params=cparams)
-        return jax.jit(lambda: f(ops_idx, *([M] * S), em, obs, isp))
+        g = jax.jit(lambda oi, m, e, o, s: f(oi, *([m] * S), e, o, s))
+        return lambda: g(ops_idx, M, em, obs, isp)
 
     # ---------------- backward-shaped variants ------------------------
     def make_bwd(read_every):
@@ -150,12 +152,13 @@ def main():
                                                      (nblk - 1 - t, 0, 0)))],
             out_specs=pl.BlockSpec((S, 1, P), rev),
             scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)])
-        src = alpha_in if read_every else alpha_in[:nblk]
+        src = alpha_in if read_every else alpha_small
         f = pl.pallas_call(make_bwd(read_every), grid_spec=grid,
                            out_shape=jax.ShapeDtypeStruct(
                                (T, 1, P), jnp.float32),
                            compiler_params=cparams)
-        return jax.jit(lambda: f(ops_idx, *([M] * S), em, obs, src))
+        g = jax.jit(lambda oi, m, e, o, a: f(oi, *([m] * S), e, o, a))
+        return lambda: g(ops_idx, M, em, obs, src)
 
     out = {}
     for name, fn in (("fwd_store", run_fwd(True)),

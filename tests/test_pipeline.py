@@ -280,6 +280,41 @@ def test_fastsmc_device_hashing_backend_matches_host(synthetic_panel,
     assert device == host
 
 
+@pytest.mark.slow
+def test_fastsmc_sort_batches_same_pairs(synthetic_panel, repo_root,
+                                         tmp_path):
+    """sort_batches reorders candidates into narrower batch windows; the
+    permissive union window shrinks, so segment EXTENTS can shift at the
+    margins, but the candidate count and the set of IBD pairs must be
+    identical, and every planted pair must still be found."""
+    import gzip as _gz
+
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, planted, bits = synthetic_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(out, sort_batches):
+        p = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / out), use_known_seed=True, min_m=0.5,
+            batch_size=8)
+        f = FastSMC(p, use_pallas=False, sort_batches=sort_batches)
+        path = f.run(verbose=False)
+        with _gz.open(path, "rt") as fh:
+            lines = fh.read().splitlines()
+        return f, sorted(set(tuple(l.split("\t")[:6]) for l in lines))
+
+    f0, pairs0 = run("plain", 0)
+    f1, pairs1 = run("sorted", 4)
+    assert f0._cpt == f1._cpt, "candidate count changed"
+    assert pairs0 == pairs1, "IBD pair set changed"
+    # sorting must not increase the decoded-site waste
+    w0 = f0.stats["decoded_site_pairs"] / f0.stats["cand_site_pairs"]
+    w1 = f1.stats["decoded_site_pairs"] / f1.stats["cand_site_pairs"]
+    assert w1 <= w0 + 1e-9, (w0, w1)
+
+
 # ---------------------------------------------------------------------------
 # default-suite smokes (NOT slow-marked): one end-to-end path always runs
 # ---------------------------------------------------------------------------
