@@ -181,12 +181,13 @@ def decode_probe():
 
 
 def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
-              profile: str = "fast", sort_batches: int = 0,
+              profile: str = "fast", sort_list=(0, 8),
               key: str = "e2e"):
     """Full FastSMC pipeline wall-to-wall on the chip: host-native scan ->
     batched Pallas validation -> device segment extraction -> IBD writer.
     The VERDICT r2 #1 measurement: sustained end-to-end candidates/s with
-    the PhaseTimer breakdown, at >= 795k candidates."""
+    the PhaseTimer breakdown, at >= 795k candidates. Runs every
+    sort_batches variant in one process (shared panel + jit cache)."""
     import jax
 
     from fastsmc_tpu.config import DecodingParams
@@ -195,41 +196,46 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
 
     print(json.dumps({"backend": jax.default_backend(),
                       "n_haps": n_haps, "batch": batch_size,
-                      "profile": profile, "sort_batches": sort_batches}),
+                      "profile": profile, "sort_list": list(sort_list)}),
           flush=True)
     t0 = time.time()
     data = make_panel(n_haps)
     gen_s = time.time() - t0
-    out_root = f"/tmp/biobank_e2e_{n_haps}_{profile}_{sort_batches}"
-    params = DecodingParams(
-        fastsmc=True, hashing=True, batch_size=batch_size,
-        in_file_root="/x", out_file_root=out_root,
-        decoding_quant_file=os.path.join(
-            REPO, "artifacts", "n300.array.decodingQuantities.npz"),
-        min_m=1.5, use_known_seed=True)
-    dq = DecodingQuantities.load_npz(params.decoding_quant_file)
-    f = FastSMC(params, data=data, dq=dq, use_pallas=True,
-                decode_profile=profile, sort_batches=sort_batches)
-    t0 = time.time()
-    path = f.run(verbose=True)
-    wall = time.time() - t0
-    st = f.stats
-    row = dict(
-        n_haps=n_haps, sites=SITES, panel_gen_s=round(gen_s, 1),
-        batch_size=batch_size, profile=profile, sort_batches=sort_batches,
-        candidates=f._cpt, segments=f.n_segments,
-        wall_s=round(wall, 1),
-        candidates_per_sec=round(f._cpt / wall, 1),
-        phase_s={k: round(v, 1) for k, v in f.timer.totals().items()},
-        waste_decoded_over_cand=round(
-            st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
-        waste_union_over_cand=round(
-            st["union_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
-        flushes=st["flushes"],
-        peak_rss_gb=peak_rss_gb())
-    print(json.dumps(row), flush=True)
-    merge_result(key, row)
-    os.remove(path)
+    dq = DecodingQuantities.load_npz(os.path.join(
+        REPO, "artifacts", "n300.array.decodingQuantities.npz"))
+    rows = []
+    for sort_batches in sort_list:
+        out_root = f"/tmp/biobank_e2e_{n_haps}_{profile}_{sort_batches}"
+        params = DecodingParams(
+            fastsmc=True, hashing=True, batch_size=batch_size,
+            in_file_root="/x", out_file_root=out_root,
+            decoding_quant_file=os.path.join(
+                REPO, "artifacts", "n300.array.decodingQuantities.npz"),
+            min_m=1.5, use_known_seed=True)
+        f = FastSMC(params, data=data, dq=dq, use_pallas=True,
+                    decode_profile=profile, sort_batches=sort_batches)
+        t0 = time.time()
+        path = f.run(verbose=True)
+        wall = time.time() - t0
+        st = f.stats
+        row = dict(
+            n_haps=n_haps, sites=SITES, panel_gen_s=round(gen_s, 1),
+            batch_size=batch_size, profile=profile,
+            sort_batches=sort_batches,
+            candidates=f._cpt, segments=f.n_segments,
+            wall_s=round(wall, 1),
+            candidates_per_sec=round(f._cpt / wall, 1),
+            phase_s={k: round(v, 1) for k, v in f.timer.totals().items()},
+            waste_decoded_over_cand=round(
+                st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
+            waste_union_over_cand=round(
+                st["union_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
+            flushes=st["flushes"],
+            peak_rss_gb=peak_rss_gb())
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        os.remove(path)
+    merge_result(key, rows)
 
 
 def main():
@@ -245,9 +251,10 @@ def main():
         n = int(sys.argv[2]) if len(sys.argv) > 2 else SWEEP[-1]
         bs = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
         prof = sys.argv[4] if len(sys.argv) > 4 else "fast"
-        sb = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-        key = sys.argv[6] if len(sys.argv) > 6 else "e2e"
-        e2e_probe(n, bs, prof, sb, key)
+        sorts = tuple(int(x) for x in sys.argv[5].split(",")) \
+            if len(sys.argv) > 5 else (0, 8)
+        key = sys.argv[6] if len(sys.argv) > 6 else f"e2e_{n}"
+        e2e_probe(n, bs, prof, sorts, key)
     else:
         raise SystemExit(f"unknown phase {which}")
     print("BIOBANK_PROBE_OK")
