@@ -48,10 +48,14 @@ def main():
 
     M = jnp.asarray(rng.random((G, KC, KC)) * 0.02, cdt)
     em = jnp.asarray(rng.random((T, 3, KC)), jnp.float32)
-    obs = jnp.asarray(rng.integers(0, 2, (T, 2, P)), jnp.float32)
+    obs = jnp.asarray(rng.integers(0, 2, (T, 2, P), dtype=np.int8),
+                      jnp.float32)
     isp = jnp.asarray(rng.random((1, KC)), jnp.float32)
     ops_idx = jnp.asarray(rng.integers(0, G, T), jnp.int32)
-    alpha_in = jnp.asarray(rng.random((T, KA, P)), adt)
+    # build the [T, KA, P] alpha on DEVICE from a small host tile (a host
+    # f64 array of this shape is ~19 GB and thrashes the 2-CPU box)
+    tile = jnp.asarray(rng.random((64, KA, P), dtype=np.float32), adt)
+    alpha_in = jax.jit(lambda v: jnp.tile(v, (T // 64, 1, 1)))(tile)
     alpha_small = alpha_in[:T // 8]
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=34 * 1024 * 1024)
