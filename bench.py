@@ -9,9 +9,11 @@ decodes in ~51.97 s => ~3,457 pairs/s on a CI-class CPU with AVX).
 All decode profiles are measured and labeled (VERDICT r1 #5):
   * "exact": f32 alpha + HIGHEST-precision matmuls — reference NO_SSE
     numerics (~5e-7 posterior error);
-  * "fast":  bf16 alpha + bf16x3 matmuls (~6e-3 posterior error);
-  * "turbo": bf16 operands, single-pass matmuls (~1e-2 posterior error;
-    segment-level quality pinned by scripts/profile_accuracy_probe.py).
+  * "fast":  bf16 alpha + single-pass bf16 matmuls (~6e-3 posterior
+    error; segment-level quality pinned by PROFILE_ACCURACY.json);
+  * "turbo": same numeric path as "fast" (measured: DEFAULT precision IS
+    single-pass bf16 on this chip — see ROOFLINE.md) with bf16 operator
+    storage (half the operator DMA).
 Plus the full FastSMC pipeline (hashing -> validation -> IBD file) on the
 in-repo example panel, as end-to-end candidate-segments/s.
 
@@ -127,30 +129,54 @@ def bench_decode(ctx, data, on_tpu):
 
 
 def bench_pipeline(on_tpu):
-    """Full FastSMC: hashing -> batched validation -> segment extraction ->
-    IBD writer, on the in-repo example panel (6,760 sites, 152 diploids)."""
+    """Full FastSMC (hashing -> batched validation -> device segment
+    extraction -> IBD writer) at a NON-TOY size: a 16,384-haplotype
+    founder-mosaic panel (6,400 sites, ~800k candidates — the smallest
+    BIOBANK_PROBE.json config), so candidates_per_sec measures sustained
+    multi-batch throughput, not one-batch fixed cost (VERDICT r2 weak #2).
+    CPU fallback keeps the small example panel (the 800k-candidate decode
+    is a TPU workload)."""
     from fastsmc_tpu.config import DecodingParams
     from fastsmc_tpu.pipelines.fastsmc import FastSMC
 
-    root = os.path.join(ROOT, "artifacts", "panels", "example_array",
-                        "example")
-    params = DecodingParams.fastsmc_defaults(
-        root, os.path.join(ROOT, "artifacts",
-                           "n300.array.decodingQuantities.npz"),
-        "/tmp/bench_pipeline", use_known_seed=True,
-        batch_size=512 if on_tpu else 32)
-    f = FastSMC(params, use_pallas=on_tpu,
-                decode_profile="fast" if on_tpu else "exact")
-    # warm the jit caches with one run, then measure a fresh run
-    f.run(verbose=False)
-    f2 = FastSMC(params, use_pallas=on_tpu,
-                 decode_profile="fast" if on_tpu else "exact")
-    f2.decoder = f.decoder  # reuse compiled kernels
+    dq_path = os.path.join(ROOT, "artifacts",
+                           "n300.array.decodingQuantities.npz")
+    if not on_tpu:
+        root = os.path.join(ROOT, "artifacts", "panels", "example_array",
+                            "example")
+        params = DecodingParams.fastsmc_defaults(
+            root, dq_path, "/tmp/bench_pipeline", use_known_seed=True,
+            batch_size=32)
+        f = FastSMC(params, use_pallas=False)
+        t0 = time.time()
+        f.run(verbose=False)
+        dt = time.time() - t0
+        return {"candidates_per_sec": round(f._cpt / dt, 1),
+                "segments": f.n_segments, "wall_s": round(dt, 2),
+                "note": "toy example panel (CPU fallback)"}
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from biobank_probe import make_panel
+
+    data = make_panel(16384)
+    params = DecodingParams(
+        fastsmc=True, hashing=True, batch_size=8192,
+        in_file_root="/x", out_file_root="/tmp/bench_pipeline",
+        decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True)
+    f = FastSMC(params, data=data, use_pallas=True, decode_profile="fast",
+                sort_batches=8)
     t0 = time.time()
-    f2.run(verbose=False)
+    f.run(verbose=False)
     dt = time.time() - t0
-    return {"candidates_per_sec": round(f2._cpt / dt, 1),
-            "segments": f2.n_segments, "wall_s": round(dt, 2)}
+    st = f.stats
+    return {"candidates_per_sec": round(f._cpt / dt, 1),
+            "candidates": f._cpt, "segments": f.n_segments,
+            "wall_s": round(dt, 2),
+            "phase_s": {k: round(v, 1) for k, v in f.timer.totals().items()},
+            "waste_decoded_over_cand": round(
+                st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
+            "note": "16,384-hap founder-mosaic panel, 6,400 sites, "
+                    "fast profile, batch 8192, sorted candidate windows"}
 
 
 def main():
@@ -167,7 +193,7 @@ def main():
         "value": round(decode["fast"], 1),
         "unit": "haplotype-pair full-sequence decodes/s (6760 sites, "
                 "69 states, fused posterior sums; fast profile: bf16 alpha "
-                "+ bf16x3, ~6e-3 posterior err)",
+                "+ single-pass bf16 matmuls, ~6e-3 posterior err)",
         "vs_baseline": round(decode["fast"] / BASELINE_PAIRS_PER_SEC, 2),
         "profile": "fast",
         "batch_pairs": decode.get("fast_batch"),
@@ -183,8 +209,8 @@ def main():
             "batch_pairs": decode.get("turbo_batch"),
             "vs_baseline": round(decode["turbo"] / BASELINE_PAIRS_PER_SEC,
                                  2),
-            "note": "pure-bf16 single-pass matmuls, ~1e-2 posterior err "
-                    "(segment-level quality: PROFILE_ACCURACY.json)",
+            "note": "bf16 operator storage; same numeric path as fast "
+                    "(PROFILE_ACCURACY.json, ROOFLINE.md)",
         },
         "pipeline": pipeline,
     }
