@@ -422,15 +422,35 @@ class PallasDecoder:
         are runtime arguments (not closed-over constants) so the compiled
         program stays panel-size independent — biobank panels are ~GB and
         would otherwise be serialized into every compile payload."""
+        return self._decode_body(tables, hap_bits, hap_a, hap_b, t0, t_len,
+                                 outs, state_threshold)
+
+    def _decode_body(self, tables, hap_bits, hap_a, hap_b, t0, t_len: int,
+                     outs: BwdOutputs, state_threshold: int, t_hi=None):
+        """Traced single-window decode (the body of ``_decode_jit``); also
+        mapped over a flush group by ``decode_pairs_multi`` /
+        ``decode_extract_multi`` so one dispatch covers many batches (the
+        remote-TPU link costs ~40 ms per host sync — see
+        DISPATCH_PROBE.json).
+
+        ``t_hi`` (traced, optional) caps the number of REAL decode steps:
+        steps >= t_hi become identity transitions with unit emissions,
+        exactly like the tail padding past L. A grouped dispatch with the
+        group's max bucket as ``t_len`` and each batch's own bucket as
+        ``t_hi`` is bit-identical to per-batch dispatches at that batch's
+        bucket length."""
         K, L, P = self.K, self.L, hap_a.shape[0]
         T = t_len
         t0 = jnp.asarray(t0, jnp.int32)
         real = jnp.minimum(T, L - t0)           # traced
+        if t_hi is not None:
+            real = jnp.minimum(real, jnp.asarray(t_hi, jnp.int32))
         S = self._pick_steps(T, P, outs)
         nblk = T // S
 
         site_idx = t0 + jnp.arange(T, dtype=jnp.int32)
-        valid = site_idx < L
+        steps0 = jnp.arange(T, dtype=jnp.int32)
+        valid = (site_idx < L) & (steps0 < real)
         site_idx_c = jnp.minimum(site_idx, L - 1)
 
         # --- observations [T, 2, P]; padded tail -> oz=1, oh=0 -------------
@@ -678,3 +698,92 @@ class PallasDecoder:
                                 jnp.asarray(hap_a), jnp.asarray(hap_b),
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))
+
+    # ------------------------------------------------------------------
+    # grouped decode: one dispatch for a whole flush group
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    def _decode_multi_jit(self, tables, hap_bits, hap_a, hap_b, t0s,
+                          t_len: int, outs: BwdOutputs, state_threshold: int):
+        def body(args):
+            a, b, t0 = args
+            return self._decode_body(tables, hap_bits, a, b, t0, t_len,
+                                     outs, state_threshold)
+        return jax.lax.map(body, (hap_a, hap_b, t0s))
+
+    def decode_pairs_multi(self, hap_a, hap_b, t0s, t_len: int,
+                           outputs: BwdOutputs = BwdOutputs(),
+                           state_threshold: int = 0) -> dict:
+        """Decode B batches of hap pairs, batch ``i`` over
+        ``[t0s[i], t0s[i]+t_len)``, in ONE device dispatch (``lax.map``
+        over the flush group — the per-iteration scan overhead is ~15 us
+        against ~7 ms of kernel work, while a separate dispatch per batch
+        costs ~40+ ms in host/link overhead on the remote backend).
+
+        Inputs are [B, P] / [B]; every output gains a leading B axis.
+        """
+        return self._decode_multi_jit(
+            self._tables(), self.hap_bits,
+            jnp.asarray(hap_a), jnp.asarray(hap_b),
+            jnp.asarray(t0s, jnp.int32), int(t_len),
+            outputs, int(state_threshold))
+
+    # ------------------------------------------------------------------
+    # fused decode + segment extraction (the FastSMC validation hot path)
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+    def _decode_extract_jit(self, tables, hap_bits, arrays, prob_threshold,
+                            t_len: int, state_threshold: int, need_pps: bool,
+                            cap: int, pps_cap: int):
+        from . import segments as seg
+
+        hap_a, hap_b, t0s, s0s, s1s, t_his = arrays
+        outs = BwdOutputs(posterior=need_pps, posterior_sums=False,
+                          threshold_sums=True)
+
+        def body(args):
+            a, b, t0, s0, s1, t_hi = args
+            named = self._decode_body(tables, hap_bits, a, b, t0, t_len,
+                                      outs, state_threshold, t_hi=t_hi)
+            th = named["threshold_sums"]
+            idx, lv, n, score, pair, ra, rb = seg.extract_runs_jax(
+                th, s0, s1, prob_threshold, cap)
+            out = dict(th=th, idx=idx, lv=lv, n=n, score=score)
+            if need_pps:
+                out["pps"] = seg.run_pps_jax(named["posterior"], pair, ra,
+                                             rb, pps_cap)
+            return out
+
+        return jax.lax.map(body, (hap_a, hap_b, t0s, s0s, s1s, t_his))
+
+    def decode_extract_multi(self, hap_a, hap_b, t0s, s0s, s1s, t_his,
+                             prob_threshold: float, t_len: int,
+                             state_threshold: int, need_pps: bool,
+                             cap: int = 16384, pps_cap: int = 4096) -> dict:
+        """Decode B batches AND extract their IBD runs in one dispatch.
+
+        The segment boundary scan, run bounds, and run scores (and, with
+        ``need_pps``, the per-run per-state posterior sums) are computed
+        in-jit, so the only host traffic per flush group is the download of
+        the packed run arrays at drain time — no [T, P] matrices and no
+        synchronous count check cross the link (extract_segments_device's
+        per-flush sync chain costs ~0.4 s/flush on the remote backend,
+        DISPATCH_PROBE.json).
+
+        Returns a dict of device arrays with leading B axis:
+          th [B, T, P], idx [B, cap] i32, lv [B, cap] u8, n [B] i32,
+          score [B, cap] f32, pps [B, pps_cap, K] f32 (if need_pps).
+        Fill entries have idx == T*P and lv == 4. If n[b] > cap the
+        caller must re-extract batch b from th[b] with a larger cap.
+
+        ``t_his[b]`` is batch b's own window bucket (<= t_len): decode
+        steps past it are identity, so results are bit-identical to a
+        per-batch ``decode_pairs`` at that bucket length.
+        """
+        arrays = (jnp.asarray(hap_a), jnp.asarray(hap_b),
+                  jnp.asarray(t0s, jnp.int32), jnp.asarray(s0s, jnp.int32),
+                  jnp.asarray(s1s, jnp.int32), jnp.asarray(t_his, jnp.int32))
+        return self._decode_extract_jit(
+            self._tables(), self.hap_bits, arrays,
+            jnp.asarray(prob_threshold, jnp.float32), int(t_len),
+            int(state_threshold), bool(need_pps), int(cap), int(pps_cap))

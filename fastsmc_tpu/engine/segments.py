@@ -137,6 +137,133 @@ def extract_segments(
 # "sumOfPosteriors" accumulation (HMM.cpp:1216-1222) as one MXU contraction.
 # ---------------------------------------------------------------------------
 
+# -- pure traced building blocks (used inside the fused decode+extract jit,
+# kernels.py decode_extract_multi, and by the standalone jits below) --------
+
+def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
+                     score_chunk: int = 256):
+    """Fully in-jit run extraction over the window [s0, s1) of ``th``
+    [T, P]: level classification, boundary compaction, run bounds, and run
+    scores — no host round-trip (the synchronous count check + boundary
+    download of ``extract_segments_device`` cost ~0.4 s/flush on the
+    remote TPU link, DISPATCH_PROBE.json).
+
+    Returns (idx [cap] i32, lv [cap] u8, n i32, score [cap] f32,
+    pair [cap] i32, a [cap] i32, b [cap] i32). Entries past ``n`` have
+    idx == T*P and lv == 4 (callers mask on lv != 4); if n > cap the
+    results are truncated and the caller must re-extract with more cap.
+
+    Scores use the same chunked HIGHEST-precision indicator einsum as
+    ``extract_segments_device`` (identical numerics; the reference
+    accumulates in f32 too, HMM.cpp:1216-1222).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T, P = th.shape
+    p = jnp.float32(prob_threshold)
+    lvl = (4
+           - (th >= p).astype(jnp.int32)
+           - (th >= jnp.float32(10.0) * p).astype(jnp.int32)
+           - (th >= jnp.float32(100.0) * p).astype(jnp.int32)
+           - (th >= jnp.float32(1000.0) * p).astype(jnp.int32))
+    pos = jnp.arange(T, dtype=jnp.int32)
+    valid = (pos >= s0) & (pos < s1)
+    lvl = jnp.where(valid[:, None], lvl, 4)
+    lvl_t = lvl.T                                       # [P, T]
+    prev = jnp.concatenate(
+        [jnp.full((P, 1), 4, lvl_t.dtype), lvl_t[:, :-1]], axis=1)
+    chg = lvl_t != prev
+    n = chg.sum().astype(jnp.int32)
+    (idx,) = jnp.nonzero(chg.ravel(), size=cap, fill_value=T * P)
+    idx = idx.astype(jnp.int32)
+    lv = jnp.where(idx < T * P,
+                   lvl_t.ravel()[jnp.minimum(idx, T * P - 1)], 4
+                   ).astype(jnp.uint8)
+
+    pair = idx // T                                     # == P for fill
+    a = idx % T
+    nxt = jnp.concatenate([idx[1:], jnp.full((1,), T * P, jnp.int32)])
+    same = (nxt // T) == pair
+    b = jnp.where(same, (nxt % T) - 1, s1 - 1)
+
+    # scores: chunked indicator einsum; fill entries get b < a -> 0
+    pr = jnp.minimum(pair, P - 1)
+    ar = jnp.clip(a, 0, T - 1)
+
+    def chunk_fn(args):
+        prc, arc, brc = args
+        posr = jnp.arange(T, dtype=jnp.int32)
+        ind = ((posr[None, :] >= arc[:, None])
+               & (posr[None, :] <= brc[:, None])).astype(jnp.float32)
+        th_g = th[:, prc]                               # [T, C]
+        return jnp.einsum("it,ti->i", ind, th_g,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    sh = (cap // score_chunk, score_chunk)
+    score = jax.lax.map(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
+                                   b.reshape(sh))).reshape(cap)
+    return idx, lv, n, score, pair, a, b
+
+
+def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256):
+    """Per-run per-state posterior sums [pps_cap, K], in-jit (mirrors
+    ``run_pps``). Only the first ``pps_cap`` runs are covered — overflow
+    is detected by the caller via the run count."""
+    import jax
+    import jax.numpy as jnp
+
+    T, K = post.shape[0], post.shape[1]
+    P = post.shape[2]
+    pr = jnp.minimum(pair[:pps_cap], P - 1)
+    ar = jnp.clip(a[:pps_cap], 0, T - 1)
+    br = b[:pps_cap]
+
+    def chunk_fn(args):
+        prc, arc, brc = args
+        posr = jnp.arange(T, dtype=jnp.int32)
+        ind = ((posr[None, :] >= arc[:, None])
+               & (posr[None, :] <= brc[:, None])).astype(jnp.float32)
+        post_g = jnp.take(post, prc, axis=2)            # [T, K, C]
+        return jnp.einsum("it,tki->ik", ind, post_g,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    sh = (pps_cap // chunk, chunk)
+    out = jax.lax.map(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
+                                 br.reshape(sh)))
+    return out.reshape(pps_cap, K)
+
+
+def segments_from_runs(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,
+                       n: int, T: int, s1: int, from_pos: int,
+                       pps: Optional[np.ndarray] = None,
+                       age_threshold: int = 0) -> List[Segment]:
+    """Host-side finish for downloaded ``extract_runs_jax`` results: drop
+    level-4 boundaries and build :class:`Segment` records (positions made
+    absolute with ``from_pos``)."""
+    idx = idx[:n]
+    lv = lv[:n]
+    score = score[:n]
+    pair = idx // T
+    a = idx % T
+    b = np.empty_like(a)
+    if n:
+        b[:-1] = np.where(pair[1:] == pair[:-1], a[1:] - 1, s1 - 1)
+        b[-1] = s1 - 1
+    out: List[Segment] = []
+    for i in range(n):
+        if lv[i] == 4:
+            continue
+        pps_i = None
+        if pps is not None:
+            pps_i = pps[i, :age_threshold]
+        out.append(Segment(
+            pair=int(pair[i]), start=from_pos + int(a[i]),
+            end=from_pos + int(b[i]), score_sum=float(score[i]),
+            pps=pps_i))
+    return out
+
+
 _jit_cache: dict = {}
 
 

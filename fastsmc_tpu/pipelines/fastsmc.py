@@ -65,7 +65,8 @@ class FastSMC:
                  hashing_backend: str = "host",
                  decode_profile: str = "exact",
                  mesh=None,
-                 sort_batches: int = 0):
+                 sort_batches: int = 0,
+                 flush_group: int = 0):
         """hashing_backend: "host" (streaming scan; native C++ when built,
         Python otherwise) or "device" (sort-based XLA scan,
         hashing/vectorized.py).
@@ -82,7 +83,15 @@ class FastSMC:
         at batch >= 512 one straggler widens everyone, so sorting shrinks
         the unions and the wasted decoded sites. Output stays within the
         same permissive-window contract; the candidate stream and batch
-        count remain deterministic (resume-safe)."""
+        count remain deterministic (resume-safe).
+        flush_group: dispatch this many batches per device call via the
+        fused decode+extract path (kernels.py decode_extract_multi) — the
+        remote TPU link costs ~40 ms per host round-trip, so per-batch
+        dispatch/sync dominates the wall time (DISPATCH_PROBE.json);
+        grouping B batches into one dispatch and draining the packed run
+        arrays asynchronously amortizes it. 0 = auto (8 when the decoder
+        supports it, else 1); 1 with a non-fused decoder keeps the
+        per-batch path."""
         params.fastsmc = True
         if hashing_backend not in ("host", "device"):
             raise ValueError(f"unknown hashing backend {hashing_backend!r}")
@@ -110,7 +119,10 @@ class FastSMC:
             from ..engine.kernels import PallasDecoder, BwdOutputs
 
             from .asmc import _profile_kwargs
+            # use_pallas="interpret" runs the same kernels in Pallas
+            # interpret mode (CPU test coverage for the fused path)
             self.decoder = PallasDecoder(self.ctx,
+                                         interpret=(use_pallas == "interpret"),
                                          **_profile_kwargs(decode_profile))
             self._bwd_outputs_cls = BwdOutputs
         else:
@@ -148,6 +160,19 @@ class FastSMC:
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
         self._pending = None
+        # fused grouped path (decode_extract_multi): stage batches, dispatch
+        # a whole group in one device call, drain the previous group's
+        # packed run arrays while this one computes
+        self._fused = (mesh is None
+                       and hasattr(self.decoder, "decode_extract_multi"))
+        self.flush_group = flush_group if flush_group \
+            else (8 if self._fused else 1)
+        if not self._fused and flush_group > 1:
+            raise ValueError("flush_group > 1 requires a fused decoder "
+                             "(PallasDecoder without a mesh)")
+        self._group: List[dict] = []
+        self._gpending = None
+        self._pps_cap = 8192
         # candidate sorting buffer (see __init__ docstring): column arrays
         # (from, to, id1, id2) accumulated until sort_batches*batch_size
         self.sort_batches = sort_batches
@@ -256,12 +281,23 @@ class FastSMC:
         t_len = bucket_len(to - frm)
 
         self.stats["flushes"] += 1
-        self.stats["decoded_site_pairs"] += t_len * p.batch_size
         self.stats["union_site_pairs"] += (end_batch - start_batch) * n
         self.stats["cand_site_pairs"] += int(
             (self._to[:n] - self._from[:n]).sum())
 
         need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
+        self._bn = 0
+
+        if self._fused:
+            self._group.append(dict(
+                hap1=hap1, hap2=hap2, n=n, frm=frm, to=to,
+                start=start_batch, end=end_batch, t_len=t_len,
+                need_ages=need_ages, idx=self._batch_idx))
+            if len(self._group) >= self.flush_group:
+                self._dispatch_group()
+            return
+
+        self.stats["decoded_site_pairs"] += t_len * p.batch_size
         with self.timer.phase("decode"):
             post, th_sums = self._decode(hap1, hap2, frm, t_len, need_ages)
 
@@ -270,7 +306,129 @@ class FastSMC:
         self._finish_pending()
         self._pending = (th_sums, post, n, frm, start_batch, end_batch,
                          hap1, hap2, need_ages, self._batch_idx)
-        self._bn = 0
+
+    # ------------------------------------------------------------------
+    # fused grouped path: one device dispatch per flush group, packed run
+    # arrays drained asynchronously (see flush_group in __init__)
+    # ------------------------------------------------------------------
+    def _dispatch_group(self):
+        if not self._group:
+            return
+        entries = self._group
+        self._group = []
+        B = self.flush_group
+        bs = self.params.batch_size
+        t_len = max(e["t_len"] for e in entries)
+        # pad the final partial group with empty-window dummies (s0 == s1
+        # -> zero runs; the decode work is a few ms of identity steps)
+        while len(entries) < B:
+            d = dict(entries[-1])
+            d.update(n=0, start=d["frm"], end=d["frm"], idx=-1)
+            entries.append(d)
+        hap1 = np.stack([e["hap1"] for e in entries])
+        hap2 = np.stack([e["hap2"] for e in entries])
+        t0s = np.asarray([e["frm"] for e in entries], np.int32)
+        s0s = np.asarray([e["start"] - e["frm"] for e in entries], np.int32)
+        s1s = np.asarray([e["end"] - e["frm"] for e in entries], np.int32)
+        t_his = np.asarray([e["t_len"] for e in entries], np.int32)
+        need_pps = any(e["need_ages"] for e in entries)
+        self.stats["decoded_site_pairs"] += t_len * bs * len(entries)
+
+        with self.timer.phase("decode"):
+            res = self.decoder.decode_extract_multi(
+                hap1, hap2, t0s, s0s, s1s, t_his,
+                self.prob_threshold, t_len, self.state_threshold,
+                need_pps, cap=self._seg_cap, pps_cap=self._pps_cap)
+        self._drain_group()
+        self._gpending = (res, entries, t_len, need_pps)
+
+    def _drain_group(self):
+        if self._gpending is None:
+            return
+        res, entries, t_len, need_pps = self._gpending
+        self._gpending = None
+        import jax
+        with self.timer.phase("segments"):
+            # one batched download for the packed run arrays (each host
+            # round-trip on the remote link costs ~40 ms)
+            idx_h, lv_h, n_h, score_h = jax.device_get(
+                (res["idx"], res["lv"], res["n"], res["score"]))
+            per_batch: List[Optional[List[seg.Segment]]] = []
+            pps_rows = []           # (batch_i, n_runs) needing pps download
+            for i, e in enumerate(entries):
+                if e["idx"] < 0 or e["n"] == 0:
+                    per_batch.append([])
+                    continue
+                nb = int(n_h[i])
+                if nb > self._seg_cap or (need_pps and e["need_ages"]
+                                          and nb > self._pps_cap):
+                    per_batch.append(None)        # overflow: redo below
+                    while self._seg_cap < nb:
+                        self._seg_cap *= 2
+                    while need_pps and self._pps_cap < nb:
+                        self._pps_cap *= 2
+                    continue
+                segs = seg.segments_from_runs(
+                    idx_h[i], lv_h[i], score_h[i], nb, t_len,
+                    int(e["end"] - e["frm"]), int(e["frm"]))
+                per_batch.append(segs)
+                if e["need_ages"] and segs:
+                    pps_rows.append((i, nb))
+            if pps_rows:
+                self._attach_pps(res["pps"], per_batch, pps_rows, lv_h)
+            for i, e in enumerate(entries):
+                if per_batch[i] is None:          # overflow redo
+                    segs, self._seg_cap = seg.extract_segments_device(
+                        res["th"][i], None, self.prob_threshold,
+                        int(e["start"] - e["frm"]),
+                        int(e["end"] - e["frm"]), int(e["frm"]),
+                        self.age_threshold, cap=self._seg_cap)
+                    if e["need_ages"] and segs:
+                        post, _ = self._decode(
+                            e["hap1"], e["hap2"], e["frm"], e["t_len"], True)
+                        self._fill_pps(segs, post, e["frm"])
+                    per_batch[i] = segs
+        done_idx = None
+        with self.timer.phase("outputPerPair"):
+            for i, e in enumerate(entries):
+                if e["idx"] < 0:
+                    continue
+                segs = [s for s in per_batch[i] if s.pair < e["n"]]
+                self._emit(segs, e["hap1"], e["hap2"])
+                done_idx = e["idx"]
+        if done_idx is not None:
+            self._write_progress(done_idx)
+
+    def _attach_pps(self, pps_dev, per_batch, pps_rows, lv_h):
+        """Attach per-run posterior-state sums to the drained segments.
+
+        Gathers only the rows of the runs that actually occurred (one
+        dispatch + one download, ~KBs) instead of the full [B, pps_cap, K]
+        buffer. Rows are in run (idx) order; ``segments_from_runs`` kept
+        runs with lv != 4 in the same order, so the level filter maps rows
+        to segments."""
+        import jax
+        import jax.numpy as jnp
+        flat = []
+        for (i, nb) in pps_rows:
+            flat.append(i * self._pps_cap + np.arange(nb, dtype=np.int32))
+        flat = np.concatenate(flat)
+        n_tot = len(flat)
+        pad = bucket_len(n_tot, 256) - n_tot
+        flat_p = np.concatenate([flat, np.zeros(pad, np.int32)])
+        B, cap, K = pps_dev.shape
+        rows = jnp.take(pps_dev.reshape(B * cap, K),
+                        jnp.asarray(flat_p), axis=0)
+        rows_h = np.asarray(jax.device_get(rows))[:n_tot]
+        ofs = 0
+        for (i, nb) in pps_rows:
+            chunk = rows_h[ofs:ofs + nb]
+            ofs += nb
+            kept = np.flatnonzero(lv_h[i][:nb] != 4)
+            segs = per_batch[i]
+            assert len(kept) == len(segs), (len(kept), len(segs))
+            for s, j in zip(segs, kept):
+                s.pps = chunk[j, :self.age_threshold]
 
     def _finish_pending(self):
         if self._pending is None:
@@ -494,6 +652,9 @@ class FastSMC:
             if self._sort_buf:
                 self._drain_sort_buf(final=True)
             self._flush(self._bn)
+            if self._fused:
+                self._dispatch_group()
+                self._drain_group()
             self._finish_pending()
         else:
             self._run_no_hashing()

@@ -430,3 +430,42 @@ def test_asmc_per_pair_streaming_outputs(tiny_panel, repo_root, tmp_path):
     a2.decode_all_in_job(verbose=False)
     means2 = np.loadtxt(out2 + ".perPairPosteriorMeans.gz")
     np.testing.assert_allclose(means2, 2.0 * means, rtol=1e-4)
+
+
+def test_fastsmc_fused_group_path_matches(tiny_panel, repo_root, tmp_path):
+    """The fused grouped decode+extract path (decode_extract_multi +
+    in-jit extraction, Pallas interpret mode on CPU) must reproduce the
+    per-batch path: flush_group=2 (group max bucket + per-batch t_hi +
+    final dummy padding) vs flush_group=1, exact same output lines; and
+    the same segments as the XLA BatchedDecoder path."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, _root2, planted, bits = tiny_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(tag, **kw):
+        params = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
+            batch_size=16)
+        f = FastSMC(params, **kw)
+        path = f.run(verbose=False)
+        with gzip.open(path, "rt") as fh:
+            return fh.read().splitlines()
+
+    g2 = run("g2", use_pallas="interpret", flush_group=2)
+    g1 = run("g1", use_pallas="interpret", flush_group=1)
+    assert g2 == g1
+    legacy = run("legacy", use_pallas=False)
+
+    def keyed(lines):
+        return {tuple(l.split("\t")[:7]) for l in lines}
+
+    assert keyed(g1) == keyed(legacy)
+    # scores/ages agree to float tolerance across engines
+    got = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+           for l in g1}
+    want = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+            for l in legacy}
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=2e-3, atol=2e-4)

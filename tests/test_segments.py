@@ -117,3 +117,62 @@ def test_device_extraction_matches_host():
             assert (g.pair, g.start, g.end) == (w.pair, w.start, w.end)
             np.testing.assert_allclose(g.score_sum, w.score_sum, rtol=1e-5)
             np.testing.assert_allclose(g.pps, w.pps, rtol=1e-4)
+
+
+def test_extract_runs_jax_matches_host():
+    """The fully in-jit extraction (extract_runs_jax + segments_from_runs,
+    used by the fused decode+extract path) must reproduce the host path:
+    same runs, same scores, same window masking."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    T, P = 256, 16
+    prob = 0.001
+    ex = jax.jit(seg.extract_runs_jax, static_argnums=(4,))
+    for trial, (s0, s1) in enumerate([(0, 256), (17, 201), (100, 101)]):
+        sums = (rng.random((T, P)) *
+                rng.choice([1e-6, 1e-2, 1e-1, 0.5, 1.0], size=(T, P))
+                ).astype(np.float32)
+        want = seg.extract_segments(sums[s0:s1], prob, 5 + s0, None, 0)
+        idx, lv, n, score, pair, a, b = ex(sums, s0, s1, prob, 4096)
+        nb = int(n)
+        assert nb <= 4096
+        got = seg.segments_from_runs(np.asarray(idx), np.asarray(lv),
+                                     np.asarray(score), nb, T, s1, 5)
+        assert len(got) == len(want), f"window {trial}"
+        for g, w in zip(got, want):
+            assert (g.pair, g.start, g.end) == (w.pair, w.start, w.end)
+            np.testing.assert_allclose(g.score_sum, w.score_sum, rtol=1e-5)
+        # device-side run bounds agree with the host recomputation
+        pair_h, a_h, b_h = (np.asarray(x)[:nb] for x in (pair, a, b))
+        keep = np.asarray(lv)[:nb] != 4
+        assert [(int(p), int(x) + 5, int(y) + 5) for p, x, y in
+                zip(pair_h[keep], a_h[keep], b_h[keep])] == \
+            [(g.pair, g.start, g.end) for g in got]
+
+
+def test_run_pps_jax_matches_host():
+    """In-jit per-run posterior-state sums (fused path) vs the host path."""
+    import jax
+
+    rng = np.random.default_rng(13)
+    T, K, P = 128, 8, 8
+    prob = 0.002
+    post = rng.random((T, K, P)).astype(np.float32)
+    post /= post.sum(axis=1, keepdims=True)
+    scale = rng.choice([1e-6, 1e-2, 0.5, 1.0], size=(T, P))
+    sums = (post[:, :4].sum(axis=1) * scale).astype(np.float32)
+    want = seg.extract_segments(sums, prob, 0, post, K)
+
+    idx, lv, n, score, pair, a, b = jax.jit(
+        seg.extract_runs_jax, static_argnums=(4,))(sums, 0, T, prob, 1024)
+    pps = jax.jit(seg.run_pps_jax, static_argnums=(4,))(post, pair, a, b,
+                                                        1024)
+    nb = int(n)
+    got = seg.segments_from_runs(np.asarray(idx), np.asarray(lv),
+                                 np.asarray(score), nb, T, T, 0,
+                                 pps=np.asarray(pps), age_threshold=K)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.pair, g.start, g.end) == (w.pair, w.start, w.end)
+        np.testing.assert_allclose(g.pps, w.pps, rtol=1e-4)
