@@ -748,7 +748,16 @@ class PallasDecoder:
             th = named["threshold_sums"]
             idx, lv, n, score, pair, ra, rb = seg.extract_runs_jax(
                 th, s0, s1, prob_threshold, cap)
-            out = dict(th=th, idx=idx, lv=lv, n=n, score=score)
+            # pack everything the drain needs into ONE i32 row so the host
+            # downloads it in a single transfer (each device_get leaf costs
+            # a ~40+ ms round-trip on the remote link): [idx | lv<<28,
+            # bitcast(score), n]. Requires T*P < 2**28 (checked by
+            # decode_extract_multi).
+            packed = jnp.concatenate([
+                idx | (lv.astype(jnp.int32) << 28),
+                jax.lax.bitcast_convert_type(score, jnp.int32),
+                n[None]])
+            out = dict(th=th, packed=packed)
             if need_pps:
                 out["pps"] = seg.run_pps_jax(named["posterior"], pair, ra,
                                              rb, pps_cap)
@@ -771,8 +780,11 @@ class PallasDecoder:
         DISPATCH_PROBE.json).
 
         Returns a dict of device arrays with leading B axis:
-          th [B, T, P], idx [B, cap] i32, lv [B, cap] u8, n [B] i32,
-          score [B, cap] f32, pps [B, pps_cap, K] f32 (if need_pps).
+          th [B, T, P] f32;
+          packed [B, 2*cap + 1] i32 — per row: [idx | lv << 28] for the
+            cap boundary slots, bitcast run scores, and the true boundary
+            count n (unpack with :func:`unpack_extract_rows`);
+          pps [B, pps_cap, K] f32 (if need_pps).
         Fill entries have idx == T*P and lv == 4. If n[b] > cap the
         caller must re-extract batch b from th[b] with a larger cap.
 
@@ -780,6 +792,10 @@ class PallasDecoder:
         steps past it are identity, so results are bit-identical to a
         per-batch ``decode_pairs`` at that bucket length.
         """
+        P = np.shape(hap_a)[-1]
+        if t_len * P >= 1 << 28:
+            raise ValueError(f"t_len*P = {t_len * P} >= 2**28 overflows "
+                             "the packed boundary encoding")
         arrays = (jnp.asarray(hap_a), jnp.asarray(hap_b),
                   jnp.asarray(t0s, jnp.int32), jnp.asarray(s0s, jnp.int32),
                   jnp.asarray(s1s, jnp.int32), jnp.asarray(t_his, jnp.int32))
@@ -787,3 +803,13 @@ class PallasDecoder:
             self._tables(), self.hap_bits, arrays,
             jnp.asarray(prob_threshold, jnp.float32), int(t_len),
             int(state_threshold), bool(need_pps), int(cap), int(pps_cap))
+
+
+def unpack_extract_rows(packed_row: np.ndarray, cap: int):
+    """Host-side unpack of one ``decode_extract_multi`` packed row:
+    returns (idx [cap] i32, lv [cap] u8, score [cap] f32, n int)."""
+    enc = packed_row[:cap]
+    idx = enc & ((1 << 28) - 1)
+    lv = (enc >> 28).astype(np.uint8)
+    score = packed_row[cap:2 * cap].view(np.float32)
+    return idx, lv, score, int(packed_row[2 * cap])

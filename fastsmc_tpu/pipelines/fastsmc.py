@@ -348,11 +348,19 @@ class FastSMC:
         res, entries, t_len, need_pps = self._gpending
         self._gpending = None
         import jax
+        from ..engine.kernels import unpack_extract_rows
         with self.timer.phase("segments"):
-            # one batched download for the packed run arrays (each host
-            # round-trip on the remote link costs ~40 ms)
-            idx_h, lv_h, n_h, score_h = jax.device_get(
-                (res["idx"], res["lv"], res["n"], res["score"]))
+            # ONE download for the whole group: idx/lv/score/n are packed
+            # into a single i32 matrix in-jit (each device_get leaf costs
+            # a ~40+ ms round-trip on the remote link)
+            packed = np.asarray(jax.device_get(res["packed"]))
+            cap = (packed.shape[1] - 1) // 2
+            rows = [unpack_extract_rows(packed[i], cap)
+                    for i in range(packed.shape[0])]
+            idx_h = [r[0] for r in rows]
+            lv_h = [r[1] for r in rows]
+            score_h = [r[2] for r in rows]
+            n_h = [r[3] for r in rows]
             per_batch: List[Optional[List[seg.Segment]]] = []
             pps_rows = []           # (batch_i, n_runs) needing pps download
             for i, e in enumerate(entries):
@@ -360,8 +368,9 @@ class FastSMC:
                     per_batch.append([])
                     continue
                 nb = int(n_h[i])
-                if nb > self._seg_cap or (need_pps and e["need_ages"]
-                                          and nb > self._pps_cap):
+                pps_cap = res["pps"].shape[1] if need_pps else 0
+                if nb > cap or (need_pps and e["need_ages"]
+                                and nb > pps_cap):
                     per_batch.append(None)        # overflow: redo below
                     while self._seg_cap < nb:
                         self._seg_cap *= 2
@@ -409,14 +418,14 @@ class FastSMC:
         to segments."""
         import jax
         import jax.numpy as jnp
+        B, cap, K = pps_dev.shape
         flat = []
         for (i, nb) in pps_rows:
-            flat.append(i * self._pps_cap + np.arange(nb, dtype=np.int32))
+            flat.append(i * cap + np.arange(nb, dtype=np.int32))
         flat = np.concatenate(flat)
         n_tot = len(flat)
         pad = bucket_len(n_tot, 256) - n_tot
         flat_p = np.concatenate([flat, np.zeros(pad, np.int32)])
-        B, cap, K = pps_dev.shape
         rows = jnp.take(pps_dev.reshape(B * cap, K),
                         jnp.asarray(flat_p), axis=0)
         rows_h = np.asarray(jax.device_get(rows))[:n_tot]
