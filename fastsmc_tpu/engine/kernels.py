@@ -414,24 +414,25 @@ class PallasDecoder:
             t["homoz"] = self.homoz
         return t
 
-    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
-    def _decode_jit(self, tables, hap_bits, hap_a, hap_b, t0, t_len: int,
-                    outs: BwdOutputs, state_threshold: int):
-        """t0 is a traced scalar so arbitrary decode windows share one
-        compilation per (P, t_len) bucket. hap_bits and the model tables
-        are runtime arguments (not closed-over constants) so the compiled
-        program stays panel-size independent — biobank panels are ~GB and
-        would otherwise be serialized into every compile payload."""
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
+    def _decode_jit(self, tables, hap_bits, hap_a, hap_b, t0, t_hi,
+                    t_len: int, outs: BwdOutputs, state_threshold: int):
+        """t0 (and the step cap t_hi) are traced scalars so arbitrary
+        decode windows share one compilation per (P, t_len) bucket.
+        hap_bits and the model tables are runtime arguments (not
+        closed-over constants) so the compiled program stays panel-size
+        independent — biobank panels are ~GB and would otherwise be
+        serialized into every compile payload."""
         return self._decode_body(tables, hap_bits, hap_a, hap_b, t0, t_len,
-                                 outs, state_threshold)
+                                 outs, state_threshold, t_hi=t_hi)
 
     def _decode_body(self, tables, hap_bits, hap_a, hap_b, t0, t_len: int,
                      outs: BwdOutputs, state_threshold: int, t_hi=None):
         """Traced single-window decode (the body of ``_decode_jit``); also
-        mapped over a flush group by ``decode_pairs_multi`` /
-        ``decode_extract_multi`` so one dispatch covers many batches (the
-        remote-TPU link costs ~40 ms per host sync — see
-        DISPATCH_PROBE.json).
+        kept separate from the jit wrapper so alternative dispatch
+        structures can reuse it (grouping many batches into one program
+        was tried and measured SLOWER than separate dispatches —
+        MULTI_VARIANT_PROBE.json).
 
         ``t_hi`` (traced, optional) caps the number of REAL decode steps:
         steps >= t_hi become identity transitions with unit emissions,
@@ -680,10 +681,14 @@ class PallasDecoder:
         return named
 
     # ------------------------------------------------------------------
+    # PallasDecoder supports the pipeline's grouped decode+extract flow
+    # (decode_pairs with t_hi + in-jit extraction on its device outputs)
+    supports_fused_extract = True
+
     def decode_pairs(self, hap_a, hap_b, t0: int = 0,
                      t_len: Optional[int] = None,
                      outputs: BwdOutputs = BwdOutputs(),
-                     state_threshold: int = 0) -> dict:
+                     state_threshold: int = 0, t_hi=None) -> dict:
         """Decode a batch of hap pairs over [t0, t0+t_len).
 
         Returns a dict with the requested outputs:
@@ -692,124 +697,16 @@ class PallasDecoder:
           per_pair_mean   [T, P]     (sum_k posterior * expectedTimes)
           per_pair_map    [T, P]     (argmax_k posterior, as float32)
           threshold_sums  [T, P]     (sum_{k < state_threshold} posterior)
+
+        ``t_hi`` (traced) caps the REAL decode steps below t_len: steps in
+        [t_hi, t_len) become identity transitions with unit emissions, so
+        a call at the flush group's max bucket with ``t_hi`` = this
+        batch's own bucket is bit-identical to a call at that bucket.
         """
         t_len = self.L - t0 if t_len is None else t_len
+        t_hi = t_len if t_hi is None else t_hi
         return self._decode_jit(self._tables(), self.hap_bits,
                                 jnp.asarray(hap_a), jnp.asarray(hap_b),
-                                jnp.asarray(t0, jnp.int32), int(t_len),
+                                jnp.asarray(t0, jnp.int32),
+                                jnp.asarray(t_hi, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))
-
-    # ------------------------------------------------------------------
-    # grouped decode: one dispatch for a whole flush group
-    # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
-    def _decode_multi_jit(self, tables, hap_bits, hap_a, hap_b, t0s,
-                          t_len: int, outs: BwdOutputs, state_threshold: int):
-        def body(args):
-            a, b, t0 = args
-            return self._decode_body(tables, hap_bits, a, b, t0, t_len,
-                                     outs, state_threshold)
-        return jax.lax.map(body, (hap_a, hap_b, t0s))
-
-    def decode_pairs_multi(self, hap_a, hap_b, t0s, t_len: int,
-                           outputs: BwdOutputs = BwdOutputs(),
-                           state_threshold: int = 0) -> dict:
-        """Decode B batches of hap pairs, batch ``i`` over
-        ``[t0s[i], t0s[i]+t_len)``, in ONE device dispatch (``lax.map``
-        over the flush group — the per-iteration scan overhead is ~15 us
-        against ~7 ms of kernel work, while a separate dispatch per batch
-        costs ~40+ ms in host/link overhead on the remote backend).
-
-        Inputs are [B, P] / [B]; every output gains a leading B axis.
-        """
-        return self._decode_multi_jit(
-            self._tables(), self.hap_bits,
-            jnp.asarray(hap_a), jnp.asarray(hap_b),
-            jnp.asarray(t0s, jnp.int32), int(t_len),
-            outputs, int(state_threshold))
-
-    # ------------------------------------------------------------------
-    # fused decode + segment extraction (the FastSMC validation hot path)
-    # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
-    def _decode_extract_jit(self, tables, hap_bits, arrays, prob_threshold,
-                            t_len: int, state_threshold: int, need_pps: bool,
-                            cap: int, pps_cap: int):
-        from . import segments as seg
-
-        hap_a, hap_b, t0s, s0s, s1s, t_his = arrays
-        outs = BwdOutputs(posterior=need_pps, posterior_sums=False,
-                          threshold_sums=True)
-
-        def body(args):
-            a, b, t0, s0, s1, t_hi = args
-            named = self._decode_body(tables, hap_bits, a, b, t0, t_len,
-                                      outs, state_threshold, t_hi=t_hi)
-            th = named["threshold_sums"]
-            idx, lv, n, score, pair, ra, rb = seg.extract_runs_jax(
-                th, s0, s1, prob_threshold, cap)
-            # pack everything the drain needs into ONE i32 row so the host
-            # downloads it in a single transfer (each device_get leaf costs
-            # a ~40+ ms round-trip on the remote link): [idx | lv<<28,
-            # bitcast(score), n]. Requires T*P < 2**28 (checked by
-            # decode_extract_multi).
-            packed = jnp.concatenate([
-                idx | (lv.astype(jnp.int32) << 28),
-                jax.lax.bitcast_convert_type(score, jnp.int32),
-                n[None]])
-            out = dict(th=th, packed=packed)
-            if need_pps:
-                out["pps"] = seg.run_pps_jax(named["posterior"], pair, ra,
-                                             rb, pps_cap)
-            return out
-
-        return jax.lax.map(body, (hap_a, hap_b, t0s, s0s, s1s, t_his))
-
-    def decode_extract_multi(self, hap_a, hap_b, t0s, s0s, s1s, t_his,
-                             prob_threshold: float, t_len: int,
-                             state_threshold: int, need_pps: bool,
-                             cap: int = 16384, pps_cap: int = 4096) -> dict:
-        """Decode B batches AND extract their IBD runs in one dispatch.
-
-        The segment boundary scan, run bounds, and run scores (and, with
-        ``need_pps``, the per-run per-state posterior sums) are computed
-        in-jit, so the only host traffic per flush group is the download of
-        the packed run arrays at drain time — no [T, P] matrices and no
-        synchronous count check cross the link (extract_segments_device's
-        per-flush sync chain costs ~0.4 s/flush on the remote backend,
-        DISPATCH_PROBE.json).
-
-        Returns a dict of device arrays with leading B axis:
-          th [B, T, P] f32;
-          packed [B, 2*cap + 1] i32 — per row: [idx | lv << 28] for the
-            cap boundary slots, bitcast run scores, and the true boundary
-            count n (unpack with :func:`unpack_extract_rows`);
-          pps [B, pps_cap, K] f32 (if need_pps).
-        Fill entries have idx == T*P and lv == 4. If n[b] > cap the
-        caller must re-extract batch b from th[b] with a larger cap.
-
-        ``t_his[b]`` is batch b's own window bucket (<= t_len): decode
-        steps past it are identity, so results are bit-identical to a
-        per-batch ``decode_pairs`` at that bucket length.
-        """
-        P = np.shape(hap_a)[-1]
-        if t_len * P >= 1 << 28:
-            raise ValueError(f"t_len*P = {t_len * P} >= 2**28 overflows "
-                             "the packed boundary encoding")
-        arrays = (jnp.asarray(hap_a), jnp.asarray(hap_b),
-                  jnp.asarray(t0s, jnp.int32), jnp.asarray(s0s, jnp.int32),
-                  jnp.asarray(s1s, jnp.int32), jnp.asarray(t_his, jnp.int32))
-        return self._decode_extract_jit(
-            self._tables(), self.hap_bits, arrays,
-            jnp.asarray(prob_threshold, jnp.float32), int(t_len),
-            int(state_threshold), bool(need_pps), int(cap), int(pps_cap))
-
-
-def unpack_extract_rows(packed_row: np.ndarray, cap: int):
-    """Host-side unpack of one ``decode_extract_multi`` packed row:
-    returns (idx [cap] i32, lv [cap] u8, score [cap] f32, n int)."""
-    enc = packed_row[:cap]
-    idx = enc & ((1 << 28) - 1)
-    lv = (enc >> 28).astype(np.uint8)
-    score = packed_row[cap:2 * cap].view(np.float32)
-    return idx, lv, score, int(packed_row[2 * cap])

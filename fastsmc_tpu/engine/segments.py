@@ -138,7 +138,7 @@ def extract_segments(
 # ---------------------------------------------------------------------------
 
 # -- pure traced building blocks (used inside the fused decode+extract jit,
-# kernels.py decode_extract_multi, and by the standalone jits below) --------
+# extract_packed, and by the standalone jits below) ------------------------
 
 def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
                      score_chunk: int = 256):
@@ -175,8 +175,24 @@ def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
         [jnp.full((P, 1), 4, lvl_t.dtype), lvl_t[:, :-1]], axis=1)
     chg = lvl_t != prev
     n = chg.sum().astype(jnp.int32)
-    (idx,) = jnp.nonzero(chg.ravel(), size=cap, fill_value=T * P)
-    idx = idx.astype(jnp.int32)
+    # two-level compaction: a flat jnp.nonzero over the [T*P] flags costs
+    # ~60 ms on the chip at 8M elements (MULTI_VARIANT_PROBE.json); the
+    # boundaries are sparse (~1e-4), so compact 64-element block flags
+    # first, then the gathered flagged blocks. Each flagged block holds
+    # >= 1 boundary, so n <= cap implies flagged-blocks <= cap and the
+    # two size-capped passes are exact. Ordering (ascending flat index =
+    # pair-major, position order) is preserved.
+    C = 64
+    nblk = (T * P) // C
+    chg_b = chg.reshape(nblk, C)
+    flags = chg_b.any(axis=1)
+    (bidx,) = jnp.nonzero(flags, size=cap, fill_value=nblk)
+    g = jnp.where((bidx < nblk)[:, None],
+                  chg_b[jnp.minimum(bidx, nblk - 1)], False)  # [cap, C]
+    (loc,) = jnp.nonzero(g.ravel(), size=cap, fill_value=cap * C)
+    idx = jnp.where(loc < cap * C,
+                    bidx[jnp.minimum(loc // C, cap - 1)] * C + loc % C,
+                    T * P).astype(jnp.int32)
     lv = jnp.where(idx < T * P,
                    lvl_t.ravel()[jnp.minimum(idx, T * P - 1)], 4
                    ).astype(jnp.uint8)
@@ -232,6 +248,83 @@ def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256):
     out = jax.lax.map(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
                                  br.reshape(sh)))
     return out.reshape(pps_cap, K)
+
+
+def _extract_packed_impl(th, s0, s1, p, cap: int, posterior, pps_cap: int):
+    import jax
+    import jax.numpy as jnp
+
+    idx, lv, n, score, pair, a, b = extract_runs_jax(th, s0, s1, p, cap)
+    # pack everything the drain needs into ONE i32 row so the host
+    # downloads a whole flush group in a single transfer (each device_get
+    # leaf costs a ~40+ ms round-trip on the remote link):
+    # [idx | lv << 28, bitcast(score), n]. Requires T*P < 2**28.
+    packed = jnp.concatenate([
+        idx | (lv.astype(jnp.int32) << 28),
+        jax.lax.bitcast_convert_type(score, jnp.int32),
+        n[None]])
+    if posterior is None:
+        return packed, None
+    return packed, run_pps_jax(posterior, pair, a, b, pps_cap)
+
+
+_packed_jit = None
+
+
+def extract_packed(th, s0, s1, prob_threshold, cap: int,
+                   posterior=None, pps_cap: int = 0):
+    """One async dispatch: in-jit run extraction on a device-resident
+    ``th`` [T, P], results packed into a single i32 row ([2*cap+1]:
+    idx|lv<<28, bitcast scores, n — unpack with
+    :func:`unpack_extract_rows`). With ``posterior``, also returns the
+    per-run posterior-state sums [pps_cap, K(padded)] (rows past the run
+    count are garbage; callers gather only valid rows).
+
+    This is the device half of the pipeline's grouped validation flow:
+    nothing is downloaded here — callers stack the group's rows
+    (:func:`stack_rows`), start ``copy_to_host_async``, and drain later.
+    """
+    global _packed_jit
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    T, P = th.shape
+    if T * P >= 1 << 28:
+        raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
+                         "boundary encoding")
+    if _packed_jit is None:
+        _packed_jit = jax.jit(_extract_packed_impl,
+                              static_argnums=(4, 6))
+    return _packed_jit(th, jnp.asarray(s0, jnp.int32),
+                       jnp.asarray(s1, jnp.int32),
+                       jnp.asarray(prob_threshold, jnp.float32),
+                       int(cap), posterior, int(pps_cap))
+
+
+_stack_jit = None
+
+
+def stack_rows(rows):
+    """jnp.stack as one dispatch (collect a flush group's packed rows or
+    pps matrices into a single download-friendly array)."""
+    global _stack_jit
+    import jax
+    if _stack_jit is None:
+        import jax.numpy as jnp
+        _stack_jit = jax.jit(lambda xs: jnp.stack(xs))
+    return _stack_jit(tuple(rows))
+
+
+def unpack_extract_rows(packed_row: np.ndarray, cap: int):
+    """Host-side unpack of one :func:`extract_packed` row: returns
+    (idx [cap] i32, lv [cap] u8, score [cap] f32, n int)."""
+    enc = packed_row[:cap]
+    idx = enc & ((1 << 28) - 1)
+    lv = (enc >> 28).astype(np.uint8)
+    score = packed_row[cap:2 * cap].view(np.float32)
+    return idx, lv, score, int(packed_row[2 * cap])
 
 
 def segments_from_runs(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,

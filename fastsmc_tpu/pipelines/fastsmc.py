@@ -84,8 +84,9 @@ class FastSMC:
         the unions and the wasted decoded sites. Output stays within the
         same permissive-window contract; the candidate stream and batch
         count remain deterministic (resume-safe).
-        flush_group: dispatch this many batches per device call via the
-        fused decode+extract path (kernels.py decode_extract_multi) — the
+        flush_group: drain interval for the grouped validation flow
+        (per-batch async decode + in-jit extraction dispatches; one
+        stacked download per group) — the
         remote TPU link costs ~40 ms per host round-trip, so per-batch
         dispatch/sync dominates the wall time (DISPATCH_PROBE.json);
         grouping B batches into one dispatch and draining the packed run
@@ -160,11 +161,12 @@ class FastSMC:
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
         self._pending = None
-        # fused grouped path (decode_extract_multi): stage batches, dispatch
+        # fused grouped path (extract_packed + stack_rows): stage batches,
         # a whole group in one device call, drain the previous group's
         # packed run arrays while this one computes
         self._fused = (mesh is None
-                       and hasattr(self.decoder, "decode_extract_multi"))
+                       and getattr(self.decoder, "supports_fused_extract",
+                                   False))
         self.flush_group = flush_group if flush_group \
             else (8 if self._fused else 1)
         if not self._fused and flush_group > 1:
@@ -316,58 +318,62 @@ class FastSMC:
             return
         entries = self._group
         self._group = []
-        B = self.flush_group
         bs = self.params.batch_size
-        t_len = max(e["t_len"] for e in entries)
-        # pad the final partial group with empty-window dummies (s0 == s1
-        # -> zero runs; the decode work is a few ms of identity steps)
-        while len(entries) < B:
-            d = dict(entries[-1])
-            d.update(n=0, start=d["frm"], end=d["frm"], idx=-1)
-            entries.append(d)
-        hap1 = np.stack([e["hap1"] for e in entries])
-        hap2 = np.stack([e["hap2"] for e in entries])
-        t0s = np.asarray([e["frm"] for e in entries], np.int32)
-        s0s = np.asarray([e["start"] - e["frm"] for e in entries], np.int32)
-        s1s = np.asarray([e["end"] - e["frm"] for e in entries], np.int32)
-        t_his = np.asarray([e["t_len"] for e in entries], np.int32)
         need_pps = any(e["need_ages"] for e in entries)
-        self.stats["decoded_site_pairs"] += t_len * bs * len(entries)
+        self.stats["decoded_site_pairs"] += \
+            sum(e["t_len"] for e in entries) * bs
+        outs = self._bwd_outputs_cls(
+            posterior=need_pps, posterior_sums=False, threshold_sums=True)
 
+        # per-batch decode dispatches (cheap and FASTER than fusing the
+        # group into one program: MULTI_VARIANT_PROBE.json measured
+        # ~26 ms/batch for any one-jit grouping vs 7.4 ms dispatched
+        # separately) + per-batch in-jit extraction; then one stacking
+        # dispatch and an async D2H so the drain doesn't wait behind the
+        # next group's execution in the in-order device queue.
+        ths, packs, ppss = [], [], []
         with self.timer.phase("decode"):
-            res = self.decoder.decode_extract_multi(
-                hap1, hap2, t0s, s0s, s1s, t_his,
-                self.prob_threshold, t_len, self.state_threshold,
-                need_pps, cap=self._seg_cap, pps_cap=self._pps_cap)
+            for e in entries:
+                r = self.decoder.decode_pairs(
+                    e["hap1"], e["hap2"], e["frm"], e["t_len"], outs,
+                    self.state_threshold)
+                th = r["threshold_sums"]
+                packed, pps = seg.extract_packed(
+                    th, e["start"] - e["frm"], e["end"] - e["frm"],
+                    self.prob_threshold, self._seg_cap,
+                    r["posterior"] if need_pps else None, self._pps_cap)
+                ths.append(th)
+                packs.append(packed)
+                ppss.append(pps)
+            res = {"th": ths,
+                   "packed": seg.stack_rows(packs),
+                   "pps": seg.stack_rows(ppss) if need_pps else None}
+            try:
+                res["packed"].copy_to_host_async()
+            except AttributeError:
+                pass
         self._drain_group()
-        self._gpending = (res, entries, t_len, need_pps)
+        self._gpending = (res, entries, need_pps)
 
     def _drain_group(self):
         if self._gpending is None:
             return
-        res, entries, t_len, need_pps = self._gpending
+        res, entries, need_pps = self._gpending
         self._gpending = None
         import jax
-        from ..engine.kernels import unpack_extract_rows
         with self.timer.phase("segments"):
             # ONE download for the whole group: idx/lv/score/n are packed
             # into a single i32 matrix in-jit (each device_get leaf costs
             # a ~40+ ms round-trip on the remote link)
             packed = np.asarray(jax.device_get(res["packed"]))
             cap = (packed.shape[1] - 1) // 2
-            rows = [unpack_extract_rows(packed[i], cap)
+            rows = [seg.unpack_extract_rows(packed[i], cap)
                     for i in range(packed.shape[0])]
-            idx_h = [r[0] for r in rows]
             lv_h = [r[1] for r in rows]
-            score_h = [r[2] for r in rows]
-            n_h = [r[3] for r in rows]
             per_batch: List[Optional[List[seg.Segment]]] = []
             pps_rows = []           # (batch_i, n_runs) needing pps download
             for i, e in enumerate(entries):
-                if e["idx"] < 0 or e["n"] == 0:
-                    per_batch.append([])
-                    continue
-                nb = int(n_h[i])
+                idx_h, lv_i, score_h, nb = rows[i]
                 pps_cap = res["pps"].shape[1] if need_pps else 0
                 if nb > cap or (need_pps and e["need_ages"]
                                 and nb > pps_cap):
@@ -378,7 +384,7 @@ class FastSMC:
                         self._pps_cap *= 2
                     continue
                 segs = seg.segments_from_runs(
-                    idx_h[i], lv_h[i], score_h[i], nb, t_len,
+                    idx_h, lv_i, score_h, nb, e["t_len"],
                     int(e["end"] - e["frm"]), int(e["frm"]))
                 per_batch.append(segs)
                 if e["need_ages"] and segs:
@@ -400,8 +406,6 @@ class FastSMC:
         done_idx = None
         with self.timer.phase("outputPerPair"):
             for i, e in enumerate(entries):
-                if e["idx"] < 0:
-                    continue
                 segs = [s for s in per_batch[i] if s.pair < e["n"]]
                 self._emit(segs, e["hap1"], e["hap2"])
                 done_idx = e["idx"]

@@ -433,7 +433,7 @@ def test_asmc_per_pair_streaming_outputs(tiny_panel, repo_root, tmp_path):
 
 
 def test_fastsmc_fused_group_path_matches(tiny_panel, repo_root, tmp_path):
-    """The fused grouped decode+extract path (decode_extract_multi +
+    """The grouped validation flow (per-batch decode + extract_packed +
     in-jit extraction, Pallas interpret mode on CPU) must reproduce the
     per-batch path: flush_group=2 (group max bucket + per-batch t_hi +
     final dummy padding) vs flush_group=1, exact same output lines; and
