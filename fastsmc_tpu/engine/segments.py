@@ -327,6 +327,24 @@ def unpack_extract_rows(packed_row: np.ndarray, cap: int):
     return idx, lv, score, int(packed_row[2 * cap])
 
 
+def runs_from_packed(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,
+                     n: int, T: int, s1: int):
+    """Array-only variant of :func:`segments_from_runs` (no per-run Python
+    objects — a biobank run has ~1e6 runs): returns (pair, a, b, score)
+    for the kept (lv != 4) runs, positions window-relative."""
+    idx = idx[:n]
+    lv = lv[:n]
+    score = score[:n]
+    pair = idx // T
+    a = idx % T
+    b = np.empty_like(a)
+    if n:
+        b[:-1] = np.where(pair[1:] == pair[:-1], a[1:] - 1, s1 - 1)
+        b[-1] = s1 - 1
+    keep = lv != 4
+    return pair[keep], a[keep], b[keep], score[keep]
+
+
 def segments_from_runs(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,
                        n: int, T: int, s1: int, from_pos: int,
                        pps: Optional[np.ndarray] = None,

@@ -65,6 +65,29 @@ class IbdTextWriter:
         self._f.write("\t".join(parts) + "\n")
         self.n_written += 1
 
+    def write_block(self, ind1, hap1, ind2, hap2, pos_start, pos_end,
+                    length_cm, score) -> None:
+        """Bulk write from column arrays — byte-identical to per-record
+        :meth:`write` without the dataclass/dispatch overhead (a biobank
+        run emits ~1e5-1e6 records; the per-record path is ~10 us each).
+        ``length_cm`` may be None (flag off) or a float32 array; ``score``
+        is float64 (matching the per-record float division)."""
+        fam, iid, ch = self.fam, self.iid, str(self.chr)
+        out = []
+        has_len = length_cm is not None
+        for j in range(len(ind1)):
+            i1 = ind1[j]
+            i2 = ind2[j]
+            parts = [fam[i1], iid[i1], str(hap1[j]), fam[i2], iid[i2],
+                     str(hap2[j]), ch, str(pos_start[j]), str(pos_end[j])]
+            if has_len:
+                parts.append("%.7g" % length_cm[j])
+            parts.append("%.7g" % score[j])
+            out.append("\t".join(parts))
+        if out:
+            self._f.write("\n".join(out) + "\n")
+        self.n_written += len(out)
+
     def close(self):
         self._f.close()
 

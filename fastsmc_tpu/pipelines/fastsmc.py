@@ -175,6 +175,7 @@ class FastSMC:
         self._group: List[dict] = []
         self._gpending = None
         self._pps_cap = 8192
+        self._gp32 = np.float32(self.data.genetic_positions)
         # candidate sorting buffer (see __init__ docstring): column arrays
         # (from, to, id1, id2) accumulated until sort_batches*batch_size
         self.sort_batches = sort_batches
@@ -370,8 +371,10 @@ class FastSMC:
             rows = [seg.unpack_extract_rows(packed[i], cap)
                     for i in range(packed.shape[0])]
             lv_h = [r[1] for r in rows]
-            per_batch: List[Optional[List[seg.Segment]]] = []
+            per_batch: List = []
             pps_rows = []           # (batch_i, n_runs) needing pps download
+            fast_emit = (not need_pps
+                         and isinstance(self._writer, writers.IbdTextWriter))
             for i, e in enumerate(entries):
                 idx_h, lv_i, score_h, nb = rows[i]
                 pps_cap = res["pps"].shape[1] if need_pps else 0
@@ -382,6 +385,12 @@ class FastSMC:
                         self._seg_cap *= 2
                     while need_pps and self._pps_cap < nb:
                         self._pps_cap *= 2
+                    continue
+                if fast_emit:
+                    # array-only path: no per-run Python objects
+                    per_batch.append(("runs",) + seg.runs_from_packed(
+                        idx_h, lv_i, score_h, nb, e["t_len"],
+                        int(e["end"] - e["frm"])))
                     continue
                 segs = seg.segments_from_runs(
                     idx_h, lv_i, score_h, nb, e["t_len"],
@@ -406,11 +415,36 @@ class FastSMC:
         done_idx = None
         with self.timer.phase("outputPerPair"):
             for i, e in enumerate(entries):
-                segs = [s for s in per_batch[i] if s.pair < e["n"]]
-                self._emit(segs, e["hap1"], e["hap2"])
+                pb = per_batch[i]
+                if isinstance(pb, tuple):         # array fast path
+                    self._emit_runs(e, *pb[1:])
+                else:
+                    segs = [s for s in pb if s.pair < e["n"]]
+                    self._emit(segs, e["hap1"], e["hap2"])
                 done_idx = e["idx"]
         if done_idx is not None:
             self._write_progress(done_idx)
+
+    def _emit_runs(self, e, pair, a, b, score_sum):
+        """Vectorised emit from run arrays (window-relative a/b); byte-
+        identical to :meth:`_emit` + per-record writes."""
+        keep = pair < e["n"]
+        pair, a, b = pair[keep], a[keep], b[keep]
+        score_sum = score_sum[keep]
+        start = a + e["frm"]
+        end = b + e["frm"]
+        h1 = e["hap1"][pair]
+        h2 = e["hap2"][pair]
+        length = None
+        if self.params.output_ibd_segment_length:
+            gp32 = self._gp32
+            length = np.float32(100.0) * (gp32[end] - gp32[start])
+        score = score_sum.astype(np.float64) / (end - start + 1)
+        phys = self.data.physical_positions
+        self._writer.write_block(h1 >> 1, 1 + (h1 & 1), h2 >> 1,
+                                 1 + (h2 & 1), phys[start], phys[end],
+                                 length, score)
+        self.n_segments += len(pair)
 
     def _attach_pps(self, pps_dev, per_batch, pps_rows, lv_h):
         """Attach per-run posterior-state sums to the drained segments.

@@ -444,10 +444,13 @@ def test_fastsmc_fused_group_path_matches(tiny_panel, repo_root, tmp_path):
     root, _root2, planted, bits = tiny_panel
     dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
 
-    def run(tag, **kw):
+    def run(tag, ages=True, **kw):
         params = DecodingParams.fastsmc_defaults(
             root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
             batch_size=16)
+        if not ages:
+            params.do_per_pair_posterior_mean = False
+            params.do_per_pair_map = False
         f = FastSMC(params, **kw)
         path = f.run(verbose=False)
         with gzip.open(path, "rt") as fh:
@@ -457,6 +460,18 @@ def test_fastsmc_fused_group_path_matches(tiny_panel, repo_root, tmp_path):
     g1 = run("g1", use_pallas="interpret", flush_group=1)
     assert g2 == g1
     legacy = run("legacy", use_pallas=False)
+
+    # ages-off exercises the vectorised run-array emit (_emit_runs /
+    # write_block); must be byte-identical to the object path
+    na_fused = run("na_fused", ages=False, use_pallas="interpret",
+                   flush_group=2)
+    na_legacy = run("na_legacy", ages=False, use_pallas=False)
+    assert [l.split("\t")[:9] for l in na_fused] == \
+        [l.split("\t")[:9] for l in na_legacy]
+    for lf, ll in zip(na_fused, na_legacy):
+        np.testing.assert_allclose(
+            [float(x) for x in lf.split("\t")[9:]],
+            [float(x) for x in ll.split("\t")[9:]], rtol=2e-3, atol=2e-4)
 
     def keyed(lines):
         return {tuple(l.split("\t")[:7]) for l in lines}
