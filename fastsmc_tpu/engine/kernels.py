@@ -94,7 +94,7 @@ def _round8(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _make_fwd_kernel(S: int, ka: int, seq: bool, alpha_dtype, precision,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, norm_block: bool = False):
     def kernel(*refs):
         if seq:
             sops_ref, rops_ref, mask_ref = refs[:3]
@@ -132,9 +132,20 @@ def _make_fwd_kernel(S: int, ka: int, seq: bool, alpha_dtype, precision,
                 mid = c * hem_ref[i, 0][:, None]
                 c = dot(m2[i][0], mid)
             c = c * em
+            if norm_block and i != S - 1:
+                # block normalization (fast/turbo): unnormalized alpha is
+                # EXACT for every output — the posterior combine
+                # renormalizes per site, invariant to alpha scale; the
+                # per-site sum+divide is ~5% of the forward pass
+                # (ALPHA_WALL.json fwd_norm_block)
+                carry[:] = c
+                return
             s = jnp.sum(c, axis=0, keepdims=True)
-            inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
-            carry[:] = c * inv
+            if norm_block:
+                carry[:] = c * (1.0 / s)
+            else:
+                inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
+                carry[:] = c * inv
 
         for i in range(S):
             if i == 0:
@@ -173,7 +184,7 @@ _OUT_NAMES = ("posterior", "posterior_sums", "per_pair_mean",
 
 def _make_bwd_kernel(outs: BwdOutputs, S: int, K: int, ka: int,
                      state_threshold: int, seq: bool, precision,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, norm_block: bool = False):
     def kernel(*all_refs):
         if seq:
             sops_ref, rops_ref, mask_ref = all_refs[:3]
@@ -219,9 +230,17 @@ def _make_bwd_kernel(outs: BwdOutputs, S: int, K: int, ka: int,
                 c = dot(m2[i][0], mid * em)
             else:
                 c = dot(m1[i][0], carry[:] * em)
+            if norm_block and i != S - 1:
+                # see _make_fwd_kernel: the combine renormalizes per site,
+                # so beta scale drift within a block is exact-in-math
+                carry[:] = c
+                return
             s = jnp.sum(c, axis=0, keepdims=True)
-            inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
-            carry[:] = c * inv
+            if norm_block:
+                carry[:] = c * (1.0 / s)
+            else:
+                inv = jnp.where(mask_ref[S * t + i] != 0, 1.0 / s, 1.0)
+                carry[:] = c * inv
 
         for i in range(S):
             r = S - 1 - i
@@ -298,7 +317,8 @@ class PallasDecoder:
     def __init__(self, ctx: DecodeContext, interpret: bool = False,
                  steps_per_block: Optional[int] = None,
                  precision: str = "highest",
-                 alpha_dtype=jnp.float32):
+                 alpha_dtype=jnp.float32,
+                 norm: str = "auto"):
         self.ctx = ctx
         dq = ctx.dq
         K = dq.states
@@ -364,6 +384,18 @@ class PallasDecoder:
         self.exp_times = jnp.asarray(expt)
         self.hap_bits = jnp.asarray(ctx.data.hap_bits)  # uint8 [H, L]
         self._scaling_skip = ctx.scaling_skip
+        # block normalization (normalize the recursion carry once per
+        # S-block instead of per site): mathematically exact for every
+        # output because the posterior combine renormalizes per site;
+        # measured ~5%/16% off the fwd/bwd pass (ALPHA_WALL.json
+        # *_norm_block). "auto" enables it for the approximate profiles
+        # and keeps the reference per-site scaling for "highest"
+        # (NO_SSE parity) and for sequence mode (two half-steps per site).
+        if norm not in ("auto", "site", "block"):
+            raise ValueError(f"unknown norm mode {norm!r}")
+        self._norm_block = (norm == "block"
+                            or (norm == "auto" and precision != "highest"
+                                and not self.sequence))
 
     # ------------------------------------------------------------------
     def _pick_steps(self, T: int, P: int, outs: BwdOutputs) -> int:
@@ -540,7 +572,8 @@ class PallasDecoder:
                 scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
             )
             alpha = pl.pallas_call(
-                _make_fwd_kernel(S, KA, True, adt, prec, cdt), grid_spec=fwd_grid,
+                _make_fwd_kernel(S, KA, True, adt, prec, cdt,
+                                 self._norm_block), grid_spec=fwd_grid,
                 out_shape=jax.ShapeDtypeStruct((T, KA, P), adt),
                 compiler_params=_compiler_params(interp),
                 interpret=interp,
@@ -563,7 +596,8 @@ class PallasDecoder:
                 scratch_shapes=[pltpu.VMEM((KC, P), jnp.float32)],
             )
             alpha = pl.pallas_call(
-                _make_fwd_kernel(S, KA, False, adt, prec, cdt), grid_spec=fwd_grid,
+                _make_fwd_kernel(S, KA, False, adt, prec, cdt,
+                                 self._norm_block), grid_spec=fwd_grid,
                 out_shape=jax.ShapeDtypeStruct((T, KA, P), adt),
                 compiler_params=_compiler_params(interp),
                 interpret=interp,
@@ -579,7 +613,7 @@ class PallasDecoder:
                     ).astype(jnp.int32)
 
         kernel = _make_bwd_kernel(outs, S, K, KA, state_threshold, seq,
-                                 prec, cdt)
+                                 prec, cdt, self._norm_block)
 
         def rev(t, *a):
             return (nblk - 1 - t, 0, 0)
