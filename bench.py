@@ -9,8 +9,9 @@ decodes in ~51.97 s => ~3,457 pairs/s on a CI-class CPU with AVX).
 All decode profiles are measured and labeled (VERDICT r1 #5):
   * "exact": f32 alpha + HIGHEST-precision matmuls — reference NO_SSE
     numerics (~5e-7 posterior error);
-  * "fast":  bf16 alpha + single-pass bf16 matmuls (~6e-3 posterior
-    error; segment-level quality pinned by PROFILE_ACCURACY.json);
+  * "fast":  bf16 alpha + single-pass bf16 matmuls + per-block
+    normalization (~9e-3 posterior error; segment-level quality pinned
+    by PROFILE_ACCURACY.json);
   * "turbo": same numeric path as "fast" (measured: DEFAULT precision IS
     single-pass bf16 on this chip — see ROOFLINE.md) with bf16 operator
     storage (half the operator DMA).
@@ -193,7 +194,8 @@ def main():
         "value": round(decode["fast"], 1),
         "unit": "haplotype-pair full-sequence decodes/s (6760 sites, "
                 "69 states, fused posterior sums; fast profile: bf16 alpha "
-                "+ single-pass bf16 matmuls, ~6e-3 posterior err)",
+                "+ single-pass bf16 matmuls + block norm, ~9e-3 "
+                "posterior err)",
         "vs_baseline": round(decode["fast"] / BASELINE_PAIRS_PER_SEC, 2),
         "profile": "fast",
         "batch_pairs": decode.get("fast_batch"),
