@@ -160,24 +160,33 @@ def bench_pipeline(on_tpu):
     from biobank_probe import make_panel
 
     data = make_panel(16384)
-    params = DecodingParams(
-        fastsmc=True, hashing=True, batch_size=8192,
-        in_file_root="/x", out_file_root="/tmp/bench_pipeline",
-        decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True)
-    f = FastSMC(params, data=data, use_pallas=True, decode_profile="fast",
-                sort_batches=8)
-    t0 = time.time()
-    f.run(verbose=False)
-    dt = time.time() - t0
+    dq = None
+    # two runs: the first pays jit compiles/cache loads, the second is the
+    # steady state a long chromosome run sits at (same convention as
+    # BIOBANK_PROBE.json e2e_* — both are reported)
+    runs = []
+    for _ in range(2):
+        params = DecodingParams(
+            fastsmc=True, hashing=True, batch_size=8192,
+            in_file_root="/x", out_file_root="/tmp/bench_pipeline",
+            decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True)
+        f = FastSMC(params, data=data, dq=dq, use_pallas=True,
+                    decode_profile="fast", sort_batches=8)
+        dq = f.dq
+        t0 = time.time()
+        f.run(verbose=False)
+        runs.append(time.time() - t0)
+    dt = runs[-1]
     st = f.stats
     return {"candidates_per_sec": round(f._cpt / dt, 1),
             "candidates": f._cpt, "segments": f.n_segments,
-            "wall_s": round(dt, 2),
+            "wall_s": round(dt, 2), "cold_wall_s": round(runs[0], 2),
             "phase_s": {k: round(v, 1) for k, v in f.timer.totals().items()},
             "waste_decoded_over_cand": round(
                 st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
             "note": "16,384-hap founder-mosaic panel, 6,400 sites, "
-                    "fast profile, batch 8192, sorted candidate windows"}
+                    "fast profile, batch 8192, sorted candidate windows; "
+                    "steady-state run (cold_wall_s = with compiles)"}
 
 
 def main():
