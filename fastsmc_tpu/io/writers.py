@@ -50,6 +50,8 @@ class IbdTextWriter:
         self.iid = iids
         self.chr = chr_number
         self.n_written = 0
+        self._id_blob = None          # lazy native-formatter id table
+        self._id_off = None
 
     def write(self, r: IbdRecord) -> None:
         parts = [self.fam[r.ind1], self.iid[r.ind1], str(r.hap1),
@@ -70,12 +72,33 @@ class IbdTextWriter:
         """Bulk write from column arrays — byte-identical to per-record
         :meth:`write` without the dataclass/dispatch overhead (a biobank
         run emits ~1e5-1e6 records; the per-record path is ~10 us each).
+        Uses the native C formatter when available (same "%.7g" printf).
         ``length_cm`` may be None (flag off) or a float32 array; ``score``
         is float64 (matching the per-record float division)."""
+        n = len(ind1)
+        if n == 0:
+            return
+        from ..native import format_ibd
+        if self._id_blob is None:
+            off = [0]
+            blob = bytearray()
+            for f_, i_ in zip(self.fam, self.iid):
+                blob += f"{f_}\t{i_}".encode() + b"\0"
+                off.append(len(blob))
+            self._id_blob = bytes(blob)
+            self._id_off = np.asarray(off, np.int32)
+        buf = format_ibd(self._id_blob, self._id_off, ind1, hap1, ind2,
+                         hap2, pos_start, pos_end, length_cm, score,
+                         str(self.chr))
+        if buf is not None:
+            self._f.flush()
+            self._f.buffer.write(buf)
+            self.n_written += n
+            return
         fam, iid, ch = self.fam, self.iid, str(self.chr)
         out = []
         has_len = length_cm is not None
-        for j in range(len(ind1)):
+        for j in range(n):
             i1 = ind1[j]
             i2 = ind2[j]
             parts = [fam[i1], iid[i1], str(hap1[j]), fam[i2], iid[i2],
@@ -84,8 +107,7 @@ class IbdTextWriter:
                 parts.append("%.7g" % length_cm[j])
             parts.append("%.7g" % score[j])
             out.append("\t".join(parts))
-        if out:
-            self._f.write("\n".join(out) + "\n")
+        self._f.write("\n".join(out) + "\n")
         self.n_written += len(out)
 
     def close(self):

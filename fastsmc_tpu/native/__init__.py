@@ -94,6 +94,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_long,
         ]
+        lib.fastsmc_format_ibd.restype = ctypes.c_long
+        lib.fastsmc_format_ibd.argtypes = [
+            ctypes.c_long, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -115,6 +132,37 @@ def undistinguished_counts(derived: np.ndarray, total: np.ndarray,
     if rc != 0:
         return None
     return out
+
+
+def format_ibd(id_blob: bytes, id_off: np.ndarray, ind1, hap1, ind2, hap2,
+               pos_start, pos_end, length_cm, score,
+               chr_str: str) -> Optional[bytes]:
+    """Bulk-format IBD text records (byte-identical to the per-record
+    Python path); None if the library is unavailable. ``length_cm`` may
+    be None (column omitted)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ind1)
+    has_len = length_cm is not None
+    if not has_len:
+        length_cm = np.zeros(0, np.float32)
+    cap = 320 * max(n, 1)
+    out = np.empty(cap, np.uint8)
+    w = lib.fastsmc_format_ibd(
+        n, id_blob, np.ascontiguousarray(id_off, np.int32),
+        np.ascontiguousarray(ind1, np.int32),
+        np.ascontiguousarray(hap1, np.int32),
+        np.ascontiguousarray(ind2, np.int32),
+        np.ascontiguousarray(hap2, np.int32),
+        np.ascontiguousarray(pos_start, np.int64),
+        np.ascontiguousarray(pos_end, np.int64),
+        np.ascontiguousarray(length_cm, np.float32), int(has_len),
+        np.ascontiguousarray(score, np.float64),
+        chr_str.encode(), out, cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes()
 
 
 def hash_scan(words: np.ndarray, id_num: np.ndarray, *, haploid: bool,

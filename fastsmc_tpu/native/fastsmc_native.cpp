@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <random>
@@ -323,6 +324,42 @@ long fastsmc_hash_scan(
   st.clear_all_pairs();
   if (st.overflow) return -1;
   return st.n_out;
+}
+
+// ---------------------------------------------------------------------------
+// bulk IBD text-record formatting (HMM.cpp:1114-1144 line layout)
+//
+// A biobank chromosome emits ~1e5-1e6 records; the per-record Python
+// formatting path costs ~10 us each (two "%.7g" and a join), dominating
+// the output phase. This formats a whole drained flush group in one call.
+// id_blob holds "<famid>\t<iid>\0" per individual, id_off its start
+// offsets; %.7g here is the same C printf the Python "%.7g" uses, so the
+// bytes are identical to the Python path.
+// ---------------------------------------------------------------------------
+
+// returns bytes written, or -1 if out_cap would overflow
+long fastsmc_format_ibd(long n, const char* id_blob, const int* id_off,
+                        const int* ind1, const int* hap1, const int* ind2,
+                        const int* hap2, const int64_t* pos_start,
+                        const int64_t* pos_end, const float* length_cm,
+                        int has_len, const double* score,
+                        const char* chr_str, char* out, long out_cap) {
+  long w = 0;
+  for (long i = 0; i < n; i++) {
+    if (out_cap - w < 320) return -1;
+    const char* id1 = id_blob + id_off[ind1[i]];
+    const char* id2 = id_blob + id_off[ind2[i]];
+    w += std::snprintf(out + w, out_cap - w,
+                       "%s\t%d\t%s\t%d\t%s\t%lld\t%lld", id1, hap1[i], id2,
+                       hap2[i], chr_str,
+                       (long long)pos_start[i], (long long)pos_end[i]);
+    if (has_len) {
+      w += std::snprintf(out + w, out_cap - w, "\t%.7g",
+                         (double)length_cm[i]);
+    }
+    w += std::snprintf(out + w, out_cap - w, "\t%.7g\n", score[i]);
+  }
+  return w;
 }
 
 }  // extern "C"

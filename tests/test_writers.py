@@ -91,3 +91,44 @@ def test_sum_over_pairs_writers(tmp_path):
                            flipped)
     r00 = np.loadtxt(str(tmp_path / "mm") + ".00.sumOverPairs.gz")
     assert r00[0, 0] == 1.0 and r00[1, 0] == 2.0  # flipped row swapped
+
+
+def test_write_block_matches_per_record(tmp_path):
+    """Bulk write_block (native C formatter when available, Python
+    fallback otherwise) must produce byte-identical output to the
+    per-record write() path."""
+    import gzip
+
+    import numpy as np
+
+    from fastsmc_tpu.io import writers
+
+    fam = [f"f{i}" for i in range(8)]
+    iid = [f"s{i}" for i in range(8)]
+    rng = np.random.default_rng(3)
+    n = 200
+    ind1 = rng.integers(0, 8, n).astype(np.int32)
+    ind2 = rng.integers(0, 8, n).astype(np.int32)
+    hap1 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    hap2 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    ps = rng.integers(0, 1 << 40, n).astype(np.int64)
+    pe = ps + rng.integers(1, 1 << 20, n).astype(np.int64)
+    length = (rng.random(n) * 30).astype(np.float32)
+    score = rng.random(n).astype(np.float64) * 1.5
+
+    for use_len in (True, False):
+        a = str(tmp_path / f"a{use_len}.ibd.gz")
+        b = str(tmp_path / f"b{use_len}.ibd.gz")
+        w = writers.IbdTextWriter(a, fam, iid, 7)
+        for j in range(n):
+            w.write(writers.IbdRecord(
+                ind1=int(ind1[j]), hap1=int(hap1[j]), ind2=int(ind2[j]),
+                hap2=int(hap2[j]), pos_start=int(ps[j]), pos_end=int(pe[j]),
+                length_cm=length[j] if use_len else None,
+                score=float(score[j]), post_est=None, map_est=None))
+        w.close()
+        w = writers.IbdTextWriter(b, fam, iid, 7)
+        w.write_block(ind1, hap1, ind2, hap2, ps, pe,
+                      length if use_len else None, score)
+        w.close()
+        assert gzip.open(a, "rb").read() == gzip.open(b, "rb").read()
