@@ -55,6 +55,7 @@ class IbdTextWriter:
         self.n_written = 0
         self._id_blob = None          # lazy native-formatter id table
         self._id_off = None
+        self._text_dirty = False      # text-wrapper bytes pending flush
 
     def write(self, r: IbdRecord) -> None:
         parts = [self.fam[r.ind1], self.iid[r.ind1], str(r.hap1),
@@ -69,6 +70,7 @@ class IbdTextWriter:
             parts.append(fmt_float(np.float32(r.map_est)))
         self._f.write("\t".join(parts) + "\n")
         self.n_written += 1
+        self._text_dirty = True
 
     def write_block(self, ind1, hap1, ind2, hap2, pos_start, pos_end,
                     length_cm, score) -> None:
@@ -94,7 +96,11 @@ class IbdTextWriter:
                          hap2, pos_start, pos_end, length_cm, score,
                          str(self.chr))
         if buf is not None:
-            self._f.flush()
+            if self._text_dirty:
+                # order text-wrapper bytes before ours; skipping the flush
+                # when clean avoids a Z_SYNC_FLUSH per flushed batch
+                self._f.flush()
+                self._text_dirty = False
             self._f.buffer.write(buf)
             self.n_written += n
             return
@@ -112,6 +118,7 @@ class IbdTextWriter:
             out.append("\t".join(parts))
         self._f.write("\n".join(out) + "\n")
         self.n_written += len(out)
+        self._text_dirty = True
 
     def close(self):
         self._f.close()

@@ -423,7 +423,15 @@ class FastSMC:
                     self._emit(segs, e["hap1"], e["hap2"])
                 done_idx = e["idx"]
         if done_idx is not None:
-            self._write_progress(done_idx)
+            # checkpointing closes + reopens the gzip member; once per
+            # drain is overhead at biobank group counts, and resume only
+            # replays the candidate stream (cheap), so every 4th drain
+            # is plenty. run() writes a final checkpoint-free close.
+            self._drains_since_ckpt = getattr(self, "_drains_since_ckpt",
+                                              0) + 1
+            if self._drains_since_ckpt >= 4:
+                self._drains_since_ckpt = 0
+                self._write_progress(done_idx)
 
     def _emit_runs(self, e, pair, a, b, score_sum):
         """Vectorised emit from run arrays (window-relative a/b); byte-
