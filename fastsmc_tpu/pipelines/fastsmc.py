@@ -155,8 +155,10 @@ class FastSMC:
         self._batch_idx = 0
         self._resume_skip = 0
         # device-extraction boundary capacity; grows sticky so batch-heavy
-        # runs compile the boundary kernel for at most a few cap buckets
-        self._seg_cap = 16384
+        # runs compile the boundary kernel for at most a few cap buckets.
+        # 4096 covers ~2x the densest observed biobank flush (~2k runs);
+        # the in-jit compaction + packed download scale with cap
+        self._seg_cap = 4096
         # deferred host finish: while batch N's decode runs on device, the
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
