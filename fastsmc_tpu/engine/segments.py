@@ -225,12 +225,21 @@ def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
 def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256):
     """Per-run per-state posterior sums [pps_cap, K], in-jit (mirrors
     ``run_pps``). Only the first ``pps_cap`` runs are covered — overflow
-    is detected by the caller via the run count."""
+    is detected by the caller via the run count. The run arrays may be
+    shorter or longer than ``pps_cap`` (they come from a separately-sized
+    extraction cap): shorter inputs are padded with empty runs (b < a,
+    all-zero rows), longer ones sliced."""
     import jax
     import jax.numpy as jnp
 
     T, K = post.shape[0], post.shape[1]
     P = post.shape[2]
+    n_in = pair.shape[0]
+    if n_in < pps_cap:
+        pad = pps_cap - n_in
+        pair = jnp.concatenate([pair, jnp.full((pad,), P, pair.dtype)])
+        a = jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+        b = jnp.concatenate([b, jnp.full((pad,), -1, b.dtype)])
     pr = jnp.minimum(pair[:pps_cap], P - 1)
     ar = jnp.clip(a[:pps_cap], 0, T - 1)
     br = b[:pps_cap]
@@ -294,6 +303,16 @@ def extract_packed(th, s0, s1, prob_threshold, cap: int,
     if T * P >= 1 << 28:
         raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
                          "boundary encoding")
+    if cap <= 0 or cap % 256:
+        raise ValueError(f"cap={cap} must be a positive multiple of 256 "
+                         "(score-chunk reshape)")
+    if posterior is not None and (pps_cap <= 0 or pps_cap % 256):
+        raise ValueError(f"pps_cap={pps_cap} must be a positive multiple "
+                         "of 256 (pps-chunk reshape)")
+    # at most ``cap`` runs can be extracted, so pps rows beyond cap are
+    # unreachable; clamping keeps the caps independently sized without the
+    # run arrays (length cap) ever underfilling the pps reshape
+    pps_cap = min(pps_cap, cap)
     if _packed_jit is None:
         _packed_jit = jax.jit(_extract_packed_impl,
                               static_argnums=(4, 6))

@@ -147,7 +147,12 @@ def format_ibd(id_blob: bytes, id_off: np.ndarray, ind1, hap1, ind2, hap2,
     has_len = length_cm is not None
     if not has_len:
         length_cm = np.zeros(0, np.float32)
-    cap = 320 * max(n, 1)
+    # 320 bytes/record covers any numeric payload; size the headroom from
+    # the longest id pair so oversized sample ids can never truncate
+    # (the C side additionally returns -1 on any truncation)
+    max_id = int(np.diff(np.ascontiguousarray(id_off, np.int64)).max()) \
+        if len(id_off) > 1 else len(id_blob)
+    cap = (320 + 2 * max_id) * max(n, 1)
     out = np.empty(cap, np.uint8)
     w = lib.fastsmc_format_ibd(
         n, id_blob, np.ascontiguousarray(id_off, np.int32),
@@ -160,7 +165,7 @@ def format_ibd(id_blob: bytes, id_off: np.ndarray, ind1, hap1, ind2, hap2,
         np.ascontiguousarray(length_cm, np.float32), int(has_len),
         np.ascontiguousarray(score, np.float64),
         chr_str.encode(), out, cap)
-    if w < 0:
+    if w < 0 or w > cap:
         return None
     return out[:w].tobytes()
 

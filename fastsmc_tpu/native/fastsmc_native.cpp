@@ -353,11 +353,17 @@ long fastsmc_format_ibd(long n, const char* id_blob, const int* id_off,
                        "%s\t%d\t%s\t%d\t%s\t%lld\t%lld", id1, hap1[i], id2,
                        hap2[i], chr_str,
                        (long long)pos_start[i], (long long)pos_end[i]);
-    if (has_len) {
+    if (has_len && w < out_cap) {
       w += std::snprintf(out + w, out_cap - w, "\t%.7g",
                          (double)length_cm[i]);
     }
-    w += std::snprintf(out + w, out_cap - w, "\t%.7g\n", score[i]);
+    if (w < out_cap) {
+      w += std::snprintf(out + w, out_cap - w, "\t%.7g\n", score[i]);
+    }
+    // snprintf returns the would-be length: w > out_cap means this
+    // record truncated (e.g. ids longer than the 320-byte headroom) —
+    // report failure so the caller falls back to the Python formatter
+    if (w >= out_cap) return -1;
   }
   return w;
 }

@@ -620,38 +620,25 @@ class FastSMC:
     def _run_no_hashing(self):
         """HMM::decodeAll pair enumeration (HMM.cpp:310-364) with flat
         pair-range splitting by jobInd/jobs."""
+        from .asmc import ASMC
         p = self.params
         N = self.data.n_ind
         tot_pairs = N if p.within_only else 2 * N * N - N
         pairs_start = tot_pairs * (p.job_ind - 1) // p.jobs
         pairs_end = tot_pairs * p.job_ind // p.jobs
 
-        hap1s: List[int] = []
-        hap2s: List[int] = []
-        pairs = 0
-
-        def consider(h1, h2):
-            nonlocal pairs
-            if pairs_start <= pairs < pairs_end:
-                hap1s.append(h1)
-                hap2s.append(h2)
-            pairs += 1
-
-        for i in range(N):
-            if not p.within_only:
-                for j in range(i):
-                    for ihap in (0, 1):
-                        for jhap in (0, 1):
-                            # makePairObs(jHap, j, iHap, i): first = (j, jhap)
-                            consider(2 * j + jhap, 2 * i + ihap)
-            consider(2 * i, 2 * i + 1)
-
-        # batches decode the full sequence
+        # batches decode the full sequence; the job's hap pairs come from
+        # the closed-form flat-index inversion (pairs_from_flat_indices),
+        # one batch at a time — never a Python loop over all 2N^2-N pairs
+        # (HMM.cpp:310-364 does that loop in C++; at 98k haps it would be
+        # ~1e10 Python iterations) and never a materialised list
         bs = p.batch_size
         L = self.data.sites
-        for ofs in range(0, len(hap1s), bs):
-            h1 = np.asarray(hap1s[ofs:ofs + bs], dtype=np.int32)
-            h2 = np.asarray(hap2s[ofs:ofs + bs], dtype=np.int32)
+        for ofs in range(pairs_start, pairs_end, bs):
+            idx = np.arange(ofs, min(ofs + bs, pairs_end), dtype=np.int64)
+            h1, h2 = ASMC.pairs_from_flat_indices(idx, p.within_only)
+            h1 = h1.astype(np.int32)
+            h2 = h2.astype(np.int32)
             n = len(h1)
             if n < bs:
                 h1 = np.concatenate([h1, np.full(bs - n, h1[-1], np.int32)])

@@ -484,3 +484,147 @@ def test_fastsmc_fused_group_path_matches(tiny_panel, repo_root, tmp_path):
             for l in legacy}
     for k, v in want.items():
         np.testing.assert_allclose(got[k], v, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("seg_cap,pps_cap", [(256, 1024), (1024, 256),
+                                             (256, 256)])
+def test_fastsmc_fused_cap_mismatch(tiny_panel, repo_root, tmp_path,
+                                    seg_cap, pps_cap):
+    """Regression for the round-3 shipped crash: the extraction cap and
+    the pps cap are sized independently (`_seg_cap` vs `_pps_cap`), and
+    `extract_packed` must accept every combination — `cap < pps_cap`
+    reshaped a cap-long run array to pps_cap inside `run_pps_jax` and
+    blew up on the reference's DEFAULT output profile (ages on,
+    DecodingParams.cpp:56-63). Output must match the legacy path for
+    every cap combination, including ones that force the overflow redo
+    (seg_cap=256 on this panel overflows some flushes)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, _root2, planted, bits = tiny_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(tag, caps=None):
+        params = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
+            batch_size=16)
+        f = FastSMC(params, use_pallas="interpret", flush_group=2)
+        if caps:
+            f._seg_cap, f._pps_cap = caps
+        path = f.run(verbose=False)
+        with gzip.open(path, "rt") as fh:
+            return fh.read().splitlines(), f
+
+    want, _ = run("legacy")
+    got, f = run(f"c{seg_cap}_{pps_cap}", caps=(seg_cap, pps_cap))
+    keyed_w = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+               for l in want}
+    keyed_g = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+               for l in got}
+    assert keyed_g.keys() == keyed_w.keys()
+    for k, v in keyed_w.items():
+        np.testing.assert_allclose(keyed_g[k], v, rtol=2e-3, atol=2e-4)
+
+
+def test_fastsmc_fused_overflow_redo(tiny_panel, repo_root, tmp_path,
+                                     monkeypatch):
+    """The seg-cap overflow redo in `_drain_group` (extract_segments_device
+    + re-decode + _fill_pps) ships unexercised at real cap sizes — the
+    tiny panel peaks at ~32 runs/flush. Fault-inject an overflow by
+    reporting n > cap from the unpacker for the first flush: the redo must
+    recompute that flush from th and produce output identical to the
+    legacy path, and the caps must grow."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.engine import segments as seg
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, _root2, planted, bits = tiny_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(tag, inject=False):
+        params = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
+            batch_size=16)
+        f = FastSMC(params, use_pallas="interpret", flush_group=2)
+        if inject:
+            orig = seg.unpack_extract_rows
+            state = {"fired": False}
+
+            def spy(row, cap):
+                idx, lv, score, n = orig(row, cap)
+                if not state["fired"]:
+                    state["fired"] = True
+                    return idx, lv, score, cap + 1       # force redo
+                return idx, lv, score, n
+
+            monkeypatch.setattr(seg, "unpack_extract_rows", spy)
+        path = f.run(verbose=False)
+        if inject:
+            monkeypatch.setattr(seg, "unpack_extract_rows", orig)
+            assert state["fired"]
+            assert f._seg_cap > 4096          # overflow grew the cap
+        with gzip.open(path, "rt") as fh:
+            return fh.read().splitlines()
+
+    want = run("plain")
+    got = run("overflow", inject=True)
+    keyed_w = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+               for l in want}
+    keyed_g = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+               for l in got}
+    assert keyed_g.keys() == keyed_w.keys()
+    for k, v in keyed_w.items():
+        np.testing.assert_allclose(keyed_g[k], v, rtol=2e-3, atol=2e-4)
+
+
+def test_no_hashing_enumeration_vectorized(tiny_panel, repo_root, tmp_path):
+    """The no-hashing path must (a) enumerate the job's pairs via the
+    closed-form flat-index inversion — parity with a transliteration of
+    the reference loop (HMM.cpp:310-364) across Ns and job splits — and
+    (b) run end-to-end producing the planted segment."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.asmc import ASMC
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    def naive(N, within_only):
+        out = []
+        for i in range(N):
+            if not within_only:
+                for j in range(i):
+                    for ihap in (0, 1):
+                        for jhap in (0, 1):
+                            out.append((2 * j + jhap, 2 * i + ihap))
+            out.append((2 * i, 2 * i + 1))
+        return out
+
+    for N in (1, 2, 3, 17, 150):
+        for wo in (False, True):
+            tot = N if wo else 2 * N * N - N
+            want = naive(N, wo)
+            assert len(want) == tot
+            h1, h2 = ASMC.pairs_from_flat_indices(
+                np.arange(tot, dtype=np.int64), wo)
+            assert list(zip(h1.tolist(), h2.tolist())) == want
+            # job split: concatenated job ranges tile the enumeration
+            for jobs in (3,):
+                got = []
+                for job in range(1, jobs + 1):
+                    s = tot * (job - 1) // jobs
+                    e = tot * job // jobs
+                    j1, j2 = ASMC.pairs_from_flat_indices(
+                        np.arange(s, e, dtype=np.int64), wo)
+                    got += list(zip(j1.tolist(), j2.tolist()))
+                assert got == want
+
+    root, _root2, planted, bits = tiny_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+    params = DecodingParams.fastsmc_defaults(
+        root, dq, str(tmp_path / "nh"), use_known_seed=True, min_m=0.5,
+        batch_size=64)
+    params.hashing = False
+    params.within_only = True          # 150 within pairs: fast
+    f = FastSMC(params, use_pallas=False)
+    path = f.run(verbose=False)
+    with gzip.open(path, "rt") as fh:
+        lines = fh.read().splitlines()
+    assert lines  # within pairs of 150 diploids yield IBD-dense output

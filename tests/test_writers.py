@@ -132,3 +132,43 @@ def test_write_block_matches_per_record(tmp_path):
                       length if use_len else None, score)
         w.close()
         assert gzip.open(a, "rb").read() == gzip.open(b, "rb").read()
+
+
+def test_write_block_oversized_ids(tmp_path):
+    """Sample ids longer than the native formatter's fixed per-record
+    headroom must not silently truncate output (ADVICE r3): the cap is
+    sized from the longest id pair and the C side reports truncation,
+    so bulk and per-record output stay byte-identical even with 500-byte
+    ids."""
+    import gzip
+
+    import numpy as np
+
+    from fastsmc_tpu.io import writers
+
+    fam = ["F" * 500, "g"]
+    iid = ["I" * 400, "h"]
+    n = 16
+    rng = np.random.default_rng(5)
+    ind1 = rng.integers(0, 2, n).astype(np.int32)
+    ind2 = rng.integers(0, 2, n).astype(np.int32)
+    hap1 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    hap2 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    ps = rng.integers(0, 1 << 30, n).astype(np.int64)
+    pe = ps + rng.integers(1, 1 << 20, n).astype(np.int64)
+    score = rng.random(n).astype(np.float64)
+
+    a = str(tmp_path / "a.ibd.gz")
+    b = str(tmp_path / "b.ibd.gz")
+    w = writers.IbdTextWriter(a, fam, iid, 7)
+    for j in range(n):
+        w.write(writers.IbdRecord(
+            ind1=int(ind1[j]), hap1=int(hap1[j]), ind2=int(ind2[j]),
+            hap2=int(hap2[j]), pos_start=int(ps[j]), pos_end=int(pe[j]),
+            length_cm=None, score=float(score[j]), post_est=None,
+            map_est=None))
+    w.close()
+    w = writers.IbdTextWriter(b, fam, iid, 7)
+    w.write_block(ind1, hap1, ind2, hap2, ps, pe, None, score)
+    w.close()
+    assert gzip.open(a, "rb").read() == gzip.open(b, "rb").read()
