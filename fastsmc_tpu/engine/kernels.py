@@ -446,38 +446,28 @@ class PallasDecoder:
             t["homoz"] = self.homoz
         return t
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
-    def _decode_jit(self, tables, hap_bits, hap_a, hap_b, t0, t_hi,
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    def _decode_jit(self, tables, hap_bits, hap_a, hap_b, t0,
                     t_len: int, outs: BwdOutputs, state_threshold: int):
-        """t0 (and the step cap t_hi) are traced scalars so arbitrary
-        decode windows share one compilation per (P, t_len) bucket.
-        hap_bits and the model tables are runtime arguments (not
-        closed-over constants) so the compiled program stays panel-size
-        independent — biobank panels are ~GB and would otherwise be
-        serialized into every compile payload."""
+        """t0 is a traced scalar so arbitrary decode windows share one
+        compilation per (P, t_len) bucket. hap_bits and the model tables
+        are runtime arguments (not closed-over constants) so the compiled
+        program stays panel-size independent — biobank panels are ~GB and
+        would otherwise be serialized into every compile payload."""
         return self._decode_body(tables, hap_bits, hap_a, hap_b, t0, t_len,
-                                 outs, state_threshold, t_hi=t_hi)
+                                 outs, state_threshold)
 
     def _decode_body(self, tables, hap_bits, hap_a, hap_b, t0, t_len: int,
-                     outs: BwdOutputs, state_threshold: int, t_hi=None):
+                     outs: BwdOutputs, state_threshold: int):
         """Traced single-window decode (the body of ``_decode_jit``); also
         kept separate from the jit wrapper so alternative dispatch
         structures can reuse it (grouping many batches into one program
         was tried and measured SLOWER than separate dispatches —
-        MULTI_VARIANT_PROBE.json).
-
-        ``t_hi`` (traced, optional) caps the number of REAL decode steps:
-        steps >= t_hi become identity transitions with unit emissions,
-        exactly like the tail padding past L. A grouped dispatch with the
-        group's max bucket as ``t_len`` and each batch's own bucket as
-        ``t_hi`` is bit-identical to per-batch dispatches at that batch's
-        bucket length."""
+        MULTI_VARIANT_PROBE.json)."""
         K, L, P = self.K, self.L, hap_a.shape[0]
         T = t_len
         t0 = jnp.asarray(t0, jnp.int32)
         real = jnp.minimum(T, L - t0)           # traced
-        if t_hi is not None:
-            real = jnp.minimum(real, jnp.asarray(t_hi, jnp.int32))
         S = self._pick_steps(T, P, outs)
         nblk = T // S
 
@@ -716,13 +706,13 @@ class PallasDecoder:
 
     # ------------------------------------------------------------------
     # PallasDecoder supports the pipeline's grouped decode+extract flow
-    # (decode_pairs with t_hi + in-jit extraction on its device outputs)
+    # (per-batch decode_pairs + in-jit extraction on its device outputs)
     supports_fused_extract = True
 
     def decode_pairs(self, hap_a, hap_b, t0: int = 0,
                      t_len: Optional[int] = None,
                      outputs: BwdOutputs = BwdOutputs(),
-                     state_threshold: int = 0, t_hi=None) -> dict:
+                     state_threshold: int = 0) -> dict:
         """Decode a batch of hap pairs over [t0, t0+t_len).
 
         Returns a dict with the requested outputs:
@@ -731,16 +721,9 @@ class PallasDecoder:
           per_pair_mean   [T, P]     (sum_k posterior * expectedTimes)
           per_pair_map    [T, P]     (argmax_k posterior, as float32)
           threshold_sums  [T, P]     (sum_{k < state_threshold} posterior)
-
-        ``t_hi`` (traced) caps the REAL decode steps below t_len: steps in
-        [t_hi, t_len) become identity transitions with unit emissions, so
-        a call at the flush group's max bucket with ``t_hi`` = this
-        batch's own bucket is bit-identical to a call at that bucket.
         """
         t_len = self.L - t0 if t_len is None else t_len
-        t_hi = t_len if t_hi is None else t_hi
         return self._decode_jit(self._tables(), self.hap_bits,
                                 jnp.asarray(hap_a), jnp.asarray(hap_b),
-                                jnp.asarray(t0, jnp.int32),
-                                jnp.asarray(t_hi, jnp.int32), int(t_len),
+                                jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))

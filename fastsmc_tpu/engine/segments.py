@@ -586,3 +586,21 @@ def map_from_pps(pps: np.ndarray, initial_state_prob: np.ndarray,
     """HMM::getMAP (HMM.cpp:1099-1107)."""
     ratio = pps / initial_state_prob[:len(pps)]
     return float(expected_times[int(np.argmax(ratio))])
+
+
+def posterior_mean_from_pps_block(pps: np.ndarray,
+                                  expected_times: np.ndarray) -> np.ndarray:
+    """Vectorised :func:`posterior_mean_from_pps` over [N, Ka] rows —
+    bit-identical per row (same f32 rounding points; numpy's pairwise
+    reduction order matches for the small per-row K)."""
+    s = pps.sum(axis=1)                                   # f32 per row
+    norm = (1.0 / s.astype(np.float64)).astype(np.float32)  # f64 div, f32
+    return (norm[:, None] * pps
+            * expected_times[None, :pps.shape[1]]).sum(axis=1)
+
+
+def map_from_pps_block(pps: np.ndarray, initial_state_prob: np.ndarray,
+                       expected_times: np.ndarray) -> np.ndarray:
+    """Vectorised :func:`map_from_pps` over [N, Ka] rows."""
+    ratio = pps / initial_state_prob[None, :pps.shape[1]]
+    return expected_times[np.argmax(ratio, axis=1)]

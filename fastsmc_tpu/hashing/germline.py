@@ -220,20 +220,32 @@ class HashingScan:
         return False
 
     # -- main loop (FastSMC.cpp:144-235) --------------------------------
-    def run(self, verbose: bool = False, use_native: bool = True) -> None:
+    def run(self, verbose: bool = False, use_native: bool = True,
+            overlap: bool = True, chunk_words: int = 0) -> None:
+        """``overlap=True`` (default, requires the native library and an
+        ``array_callback``) runs the scan in word-range chunks on a
+        producer thread — ctypes releases the GIL inside the C scan, so
+        identification(chunk k+1) runs concurrently with the callback's
+        validation work for chunk k. The reference gets this overlap for
+        free across job processes (FastSMC.cpp:144-227 per job); here it
+        hides the scan behind the device decode on one host. The chunked
+        stream is identical (matches + order) to the single-shot scan, so
+        batches and resume checkpoints are unchanged."""
         p = self.params
+        arr_cb = getattr(self, "array_callback", None)
+        kwargs = dict(
+            haploid=p.haploid, windows=self.windows, min_m=p.min_m,
+            genetic_positions=self.data.genetic_positions.astype(np.float32),
+            word_size=self.word_size, read_ahead=p.const_read_ahead,
+            gap=p.gap, max_seeds=p.max_seeds, skip=p.skip)
+        if use_native and overlap and arr_cb is not None:
+            if self._run_overlapped(arr_cb, chunk_words, kwargs):
+                return
         if use_native:
             from .. import native
-            res = native.hash_scan(
-                self.words, self.id_num, haploid=p.haploid,
-                windows=self.windows, min_m=p.min_m,
-                genetic_positions=self.data.genetic_positions.astype(
-                    np.float32),
-                word_size=self.word_size, read_ahead=p.const_read_ahead,
-                gap=p.gap, max_seeds=p.max_seeds, skip=p.skip)
+            res = native.hash_scan(self.words, self.id_num, **kwargs)
             if res is not None:
                 id1, id2, frm, to = res
-                arr_cb = getattr(self, "array_callback", None)
                 if arr_cb is not None:
                     # bulk ingestion: one call for the whole candidate
                     # stream (a biobank chromosome has millions of
@@ -246,6 +258,61 @@ class HashingScan:
                     self.callback(int(a), int(b), int(f), int(t))
                 return
         self._run_python(verbose)
+
+    def _run_overlapped(self, arr_cb, chunk_words: int, kwargs) -> bool:
+        """Producer-thread chunked native scan; False if unavailable."""
+        from .. import native
+        sc = native.NativeScan.create(self.words, self.id_num, **kwargs)
+        if sc is None:
+            return False
+        import queue
+        import threading
+        tw = self.total_words
+        cw = chunk_words or max(64, -(-tw // 32))
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for w0 in range(0, tw, cw):
+                    sc.scan_words(w0, min(w0 + cw, tw))
+                    chunk = sc.take()
+                    if len(chunk[0]) and not _put(chunk):
+                        return
+                sc.finish()
+                chunk = sc.take()
+                if len(chunk[0]):
+                    if not _put(chunk):
+                        return
+                _put(None)
+            except BaseException as e:          # surface in the consumer
+                _put(e)
+
+        th = threading.Thread(target=producer, name="fastsmc-scan",
+                              daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                arr_cb(*item)
+        finally:
+            stop.set()
+            th.join()
+            sc.destroy()
+        return True
 
     def _run_python(self, verbose: bool = False) -> None:
         p = self.params

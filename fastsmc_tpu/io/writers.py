@@ -73,13 +73,14 @@ class IbdTextWriter:
         self._text_dirty = True
 
     def write_block(self, ind1, hap1, ind2, hap2, pos_start, pos_end,
-                    length_cm, score) -> None:
+                    length_cm, score, post_est=None, map_est=None) -> None:
         """Bulk write from column arrays — byte-identical to per-record
         :meth:`write` without the dataclass/dispatch overhead (a biobank
         run emits ~1e5-1e6 records; the per-record path is ~10 us each).
         Uses the native C formatter when available (same "%.7g" printf).
-        ``length_cm`` may be None (flag off) or a float32 array; ``score``
-        is float64 (matching the per-record float division)."""
+        ``length_cm`` / ``post_est`` / ``map_est`` may be None (column
+        omitted) or float32 arrays; ``score`` is float64 (matching the
+        per-record float division)."""
         n = len(ind1)
         if n == 0:
             return
@@ -94,7 +95,7 @@ class IbdTextWriter:
             self._id_off = np.asarray(off, np.int32)
         buf = format_ibd(self._id_blob, self._id_off, ind1, hap1, ind2,
                          hap2, pos_start, pos_end, length_cm, score,
-                         str(self.chr))
+                         str(self.chr), post_est, map_est)
         if buf is not None:
             if self._text_dirty:
                 # order text-wrapper bytes before ours; skipping the flush
@@ -115,6 +116,10 @@ class IbdTextWriter:
             if has_len:
                 parts.append("%.7g" % length_cm[j])
             parts.append("%.7g" % score[j])
+            if post_est is not None:
+                parts.append("%.7g" % post_est[j])
+            if map_est is not None:
+                parts.append("%.7g" % map_est[j])
             out.append("\t".join(parts))
         self._f.write("\n".join(out) + "\n")
         self.n_written += len(out)
@@ -162,6 +167,40 @@ class IbdBinaryWriter:
         if self.has_map:
             f.write(struct.pack("<f", np.float32(r.map_est)))
         self.n_written += 1
+
+    def write_block(self, ind1, hap1, ind2, hap2, pos_start, pos_end,
+                    length_cm, score, post_est=None, map_est=None) -> None:
+        """Bulk write from column arrays — byte-identical to per-record
+        :meth:`write` (one packed numpy record dtype, no per-record
+        struct.pack calls)."""
+        n = len(ind1)
+        if n == 0:
+            return
+        fields = [("i1", "<u4"), ("h1", "u1"), ("i2", "<u4"), ("h2", "u1"),
+                  ("s", "<i4"), ("e", "<i4")]
+        if self.has_length:
+            fields.append(("len", "<f4"))
+        fields.append(("score", "<f4"))
+        if self.has_post:
+            fields.append(("post", "<f4"))
+        if self.has_map:
+            fields.append(("map", "<f4"))
+        rec = np.empty(n, np.dtype(fields))   # list-of-tuples dtype = packed
+        rec["i1"] = ind1
+        rec["h1"] = hap1
+        rec["i2"] = ind2
+        rec["h2"] = hap2
+        rec["s"] = pos_start
+        rec["e"] = pos_end
+        if self.has_length:
+            rec["len"] = np.asarray(length_cm, np.float32)
+        rec["score"] = np.asarray(score, np.float32)
+        if self.has_post:
+            rec["post"] = np.asarray(post_est, np.float32)
+        if self.has_map:
+            rec["map"] = np.asarray(map_est, np.float32)
+        self._f.write(rec.tobytes())
+        self.n_written += n
 
     def close(self):
         self._f.close()

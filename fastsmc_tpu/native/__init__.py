@@ -94,6 +94,35 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_long,
         ]
+        _scan_params = [
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_double,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double,
+        ]
+        lib.fastsmc_scan_create.restype = ctypes.c_void_p
+        lib.fastsmc_scan_create.argtypes = _scan_params
+        lib.fastsmc_scan_words.restype = ctypes.c_long
+        lib.fastsmc_scan_words.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                           ctypes.c_int]
+        lib.fastsmc_scan_finish.restype = ctypes.c_long
+        lib.fastsmc_scan_finish.argtypes = [ctypes.c_void_p]
+        lib.fastsmc_scan_take.restype = ctypes.c_long
+        lib.fastsmc_scan_take.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+        ]
+        lib.fastsmc_scan_destroy.restype = None
+        lib.fastsmc_scan_destroy.argtypes = [ctypes.c_void_p]
         lib.fastsmc_format_ibd.restype = ctypes.c_long
         lib.fastsmc_format_ibd.argtypes = [
             ctypes.c_long, ctypes.c_char_p,
@@ -107,6 +136,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             ctypes.c_int,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
             ctypes.c_char_p,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_long,
@@ -136,10 +169,10 @@ def undistinguished_counts(derived: np.ndarray, total: np.ndarray,
 
 def format_ibd(id_blob: bytes, id_off: np.ndarray, ind1, hap1, ind2, hap2,
                pos_start, pos_end, length_cm, score,
-               chr_str: str) -> Optional[bytes]:
+               chr_str: str, post_est=None, map_est=None) -> Optional[bytes]:
     """Bulk-format IBD text records (byte-identical to the per-record
-    Python path); None if the library is unavailable. ``length_cm`` may
-    be None (column omitted)."""
+    Python path); None if the library is unavailable. ``length_cm``,
+    ``post_est`` and ``map_est`` may be None (column omitted)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -147,6 +180,12 @@ def format_ibd(id_blob: bytes, id_off: np.ndarray, ind1, hap1, ind2, hap2,
     has_len = length_cm is not None
     if not has_len:
         length_cm = np.zeros(0, np.float32)
+    has_post = post_est is not None
+    has_map = map_est is not None
+    if not has_post:
+        post_est = np.zeros(0, np.float32)
+    if not has_map:
+        map_est = np.zeros(0, np.float32)
     # 320 bytes/record covers any numeric payload; size the headroom from
     # the longest id pair so oversized sample ids can never truncate
     # (the C side additionally returns -1 on any truncation)
@@ -164,10 +203,89 @@ def format_ibd(id_blob: bytes, id_off: np.ndarray, ind1, hap1, ind2, hap2,
         np.ascontiguousarray(pos_end, np.int64),
         np.ascontiguousarray(length_cm, np.float32), int(has_len),
         np.ascontiguousarray(score, np.float64),
+        np.ascontiguousarray(post_est, np.float32), int(has_post),
+        np.ascontiguousarray(map_est, np.float32), int(has_map),
         chr_str.encode(), out, cap)
     if w < 0 or w > cap:
         return None
     return out[:w].tobytes()
+
+
+class NativeScan:
+    """Chunked GERMLINE2 scan handle: scan word ranges incrementally so a
+    producer thread can stay inside the GIL-releasing C calls while the
+    main thread validates the previous chunk's candidates. The carried
+    extend-hash state makes the chunked stream identical (same matches,
+    same order) to the single-shot :func:`hash_scan`.
+
+    Only the creating thread may call :meth:`scan_words` / :meth:`finish`
+    / :meth:`take` (the handle is not thread-safe)."""
+
+    def __init__(self, lib, handle, refs):
+        self._lib = lib
+        self._h = handle
+        self._refs = refs      # keep words/id_num/gpos alive
+
+    @classmethod
+    def create(cls, words: np.ndarray, id_num: np.ndarray, *, haploid: bool,
+               windows, min_m: float, genetic_positions: np.ndarray,
+               word_size: int, read_ahead: int, gap: int, max_seeds: int,
+               skip: float) -> Optional["NativeScan"]:
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "fastsmc_scan_create"):
+            return None
+        n_haps, n_words = words.shape
+        gpos = np.ascontiguousarray(genetic_positions, np.float32)
+        idn = np.ascontiguousarray(id_num, np.int64)
+        w = np.ascontiguousarray(words, np.uint64)
+        if windows is not None:
+            args = (1, windows.jobs, windows.job_ind, windows.w_i,
+                    windows.w_j, windows.window_size,
+                    int(windows.is_j_above_diag))
+        else:
+            args = (0, 1, 1, 1, 1, 0, 0)
+        h = lib.fastsmc_scan_create(
+            w, n_haps, n_words, idn, int(bool(haploid)), args[0], args[1],
+            args[2], args[3], args[4], args[5], args[6], float(min_m), gpos,
+            len(gpos), int(word_size), int(read_ahead), int(gap),
+            int(max_seeds), float(skip))
+        if not h:
+            return None
+        return cls(lib, h, (w, idn, gpos))
+
+    def scan_words(self, w_begin: int, w_end: int) -> int:
+        """Scan [w_begin, w_end); returns matches accumulated so far."""
+        return self._lib.fastsmc_scan_words(self._h, int(w_begin),
+                                            int(w_end))
+
+    def finish(self) -> int:
+        """Flush all still-active matches (end of panel)."""
+        return self._lib.fastsmc_scan_finish(self._h)
+
+    def take(self) -> tuple:
+        """Copy out + clear the accumulated (id1, id2, from, to) arrays."""
+        cap = 65536
+        while True:
+            out1 = np.empty(cap, np.int32)
+            out2 = np.empty(cap, np.int32)
+            outf = np.empty(cap, np.int64)
+            outt = np.empty(cap, np.int64)
+            n = self._lib.fastsmc_scan_take(self._h, out1, out2, outf, outt,
+                                            cap)
+            if n >= 0:
+                return out1[:n], out2[:n], outf[:n], outt[:n]
+            cap *= 4
+
+    def destroy(self) -> None:
+        if self._h:
+            self._lib.fastsmc_scan_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.destroy()
+        except Exception:
+            pass
 
 
 def hash_scan(words: np.ndarray, id_num: np.ndarray, *, haploid: bool,

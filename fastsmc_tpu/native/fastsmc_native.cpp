@@ -100,14 +100,22 @@ struct ScanState {
   std::unordered_map<int64_t, size_t> match_index;
   size_t compact_from = 0;
 
-  // output
-  int32_t* out_id1;
-  int32_t* out_id2;
-  int64_t* out_from;
-  int64_t* out_to;
-  int64_t capacity;
+  // output: either fixed caller buffers (single-shot fastsmc_hash_scan)
+  // or internal accumulation vectors (chunked scan handle API)
+  int32_t* out_id1 = nullptr;
+  int32_t* out_id2 = nullptr;
+  int64_t* out_from = nullptr;
+  int64_t* out_to = nullptr;
+  int64_t capacity = 0;
   int64_t n_out = 0;
   bool overflow = false;
+  bool accumulate = false;
+  std::vector<int32_t> acc_id1, acc_id2;
+  std::vector<int64_t> acc_from, acc_to;
+
+  // reused per-word bucket storage (chunked scans keep allocations warm)
+  std::unordered_map<uint64_t, size_t> bucket_idx;
+  std::vector<std::vector<int>> buckets;
 
   uint64_t num;  // hashing units
 
@@ -174,12 +182,19 @@ struct ScanState {
   void print_match(const Match& m) {
     const double mlen = cm_between(m.w0, m.w1);
     if (mlen >= min_m) {
+      int p1, p2;
+      location_to_pair(m.loc, &p1, &p2);
+      if (accumulate) {
+        acc_id1.push_back(p1);
+        acc_id2.push_back(p2);
+        acc_from.push_back((int64_t)m.w0 * word_size);
+        acc_to.push_back((int64_t)m.w1 * word_size + word_size - 1);
+        return;
+      }
       if (n_out >= capacity) {
         overflow = true;
         return;
       }
-      int p1, p2;
-      location_to_pair(m.loc, &p1, &p2);
       out_id1[n_out] = p1;
       out_id2[n_out] = p2;
       out_from[n_out] = (int64_t)m.w0 * word_size;
@@ -254,9 +269,70 @@ struct ScanState {
     }
     return tot;
   }
+
+  // scan the word range [w_begin, w_end); carries the extend-hash state
+  // across calls so a chunked scan emits the exact same stream (same
+  // matches, same order) as one full pass
+  void scan_range(int w_begin, int w_end) {
+    for (int w = w_begin; w < w_end; w++) {
+      const int read_words = std::min(n_words, w + read_ahead);
+      bucket_idx.clear();
+      buckets.clear();
+      for (int i = 0; i < n_haps; i++) {
+        const uint64_t h = words[(size_t)i * n_words + w];
+        auto it = bucket_idx.find(h);
+        if (it == bucket_idx.end()) {
+          bucket_idx.emplace(h, buckets.size());
+          buckets.emplace_back();
+          buckets.back().push_back(i);
+        } else {
+          buckets[it->second].push_back(i);
+        }
+      }
+      const double cur_seeds = (double)buckets.size();
+      if (cur_seeds / (double)n_haps > skip) {
+        extend_all_pairs(buckets, w, read_words, w);
+        clear_pairs_prior_to(w - gap);
+      } else {
+        extend_all_pairs_to(w);
+      }
+      if (!accumulate && overflow) return;
+    }
+  }
 };
 
 }  // namespace
+
+static ScanState* make_scan_state(
+    const uint64_t* words, int n_haps, int n_words, const int64_t* id_num,
+    int haploid, int has_windows, int jobs, int job_ind, uint64_t w_i,
+    uint64_t w_j, uint64_t window_size, int is_j_above_diag, double min_m,
+    const float* genetic_positions, long n_positions, int word_size,
+    int read_ahead, int gap, int max_seeds, double skip) {
+  ScanState* st = new ScanState();
+  st->words = words;
+  st->n_haps = n_haps;
+  st->n_words = n_words;
+  st->id_num = id_num;
+  st->haploid = haploid != 0;
+  st->has_windows = has_windows != 0;
+  st->jobs = jobs;
+  st->job_ind = job_ind;
+  st->w_i = w_i;
+  st->w_j = w_j;
+  st->window_size = window_size;
+  st->is_j_above_diag = is_j_above_diag != 0;
+  st->min_m = min_m;
+  st->gpos = genetic_positions;
+  st->n_positions = n_positions;
+  st->word_size = word_size;
+  st->read_ahead = read_ahead;
+  st->gap = gap;
+  st->max_seeds = max_seeds;
+  st->skip = skip;
+  st->num = (uint64_t)n_haps;
+  return st;
+}
 
 // Returns the number of matches written, or -1 on output-capacity overflow.
 long fastsmc_hash_scan(
@@ -266,65 +342,76 @@ long fastsmc_hash_scan(
     const float* genetic_positions, long n_positions, int word_size,
     int read_ahead, int gap, int max_seeds, double skip, int32_t* out_id1,
     int32_t* out_id2, int64_t* out_from, int64_t* out_to, long capacity) {
-  ScanState st;
-  st.words = words;
-  st.n_haps = n_haps;
-  st.n_words = n_words;
-  st.id_num = id_num;
-  st.haploid = haploid != 0;
-  st.has_windows = has_windows != 0;
-  st.jobs = jobs;
-  st.job_ind = job_ind;
-  st.w_i = w_i;
-  st.w_j = w_j;
-  st.window_size = window_size;
-  st.is_j_above_diag = is_j_above_diag != 0;
-  st.min_m = min_m;
-  st.gpos = genetic_positions;
-  st.n_positions = n_positions;
-  st.word_size = word_size;
-  st.read_ahead = read_ahead;
-  st.gap = gap;
-  st.max_seeds = max_seeds;
-  st.skip = skip;
-  st.out_id1 = out_id1;
-  st.out_id2 = out_id2;
-  st.out_from = out_from;
-  st.out_to = out_to;
-  st.capacity = capacity;
-  st.num = (uint64_t)n_haps;
-
-  std::unordered_map<uint64_t, size_t> bucket_idx;
-  std::vector<std::vector<int>> buckets;
-
-  for (int w = 0; w < n_words; w++) {
-    const int read_words = std::min(n_words, w + read_ahead);
-    bucket_idx.clear();
-    buckets.clear();
-    for (int i = 0; i < n_haps; i++) {
-      const uint64_t h = words[(size_t)i * n_words + w];
-      auto it = bucket_idx.find(h);
-      if (it == bucket_idx.end()) {
-        bucket_idx.emplace(h, buckets.size());
-        buckets.emplace_back();
-        buckets.back().push_back(i);
-      } else {
-        buckets[it->second].push_back(i);
-      }
-    }
-    const double cur_seeds = (double)buckets.size();
-    if (cur_seeds / (double)n_haps > skip) {
-      st.extend_all_pairs(buckets, w, read_words, w);
-      st.clear_pairs_prior_to(w - gap);
-    } else {
-      st.extend_all_pairs_to(w);
-    }
-    if (st.overflow) return -1;
-  }
-  st.clear_all_pairs();
-  if (st.overflow) return -1;
-  return st.n_out;
+  ScanState* st = make_scan_state(
+      words, n_haps, n_words, id_num, haploid, has_windows, jobs, job_ind,
+      w_i, w_j, window_size, is_j_above_diag, min_m, genetic_positions,
+      n_positions, word_size, read_ahead, gap, max_seeds, skip);
+  st->out_id1 = out_id1;
+  st->out_id2 = out_id2;
+  st->out_from = out_from;
+  st->out_to = out_to;
+  st->capacity = capacity;
+  st->scan_range(0, n_words);
+  if (!st->overflow) st->clear_all_pairs();
+  const long n = st->overflow ? -1 : (long)st->n_out;
+  delete st;
+  return n;
 }
+
+// ---------------------------------------------------------------------------
+// chunked scan handle API: scan word ranges incrementally so the Python
+// side can overlap identification with validation (the producer thread
+// stays inside these GIL-releasing ctypes calls while the main thread
+// batches/decodes the previous chunk's candidates). Only one thread may
+// touch a handle at a time; matches accumulate internally and are copied
+// out with fastsmc_scan_take.
+// ---------------------------------------------------------------------------
+
+void* fastsmc_scan_create(
+    const uint64_t* words, int n_haps, int n_words, const int64_t* id_num,
+    int haploid, int has_windows, int jobs, int job_ind, uint64_t w_i,
+    uint64_t w_j, uint64_t window_size, int is_j_above_diag, double min_m,
+    const float* genetic_positions, long n_positions, int word_size,
+    int read_ahead, int gap, int max_seeds, double skip) {
+  ScanState* st = make_scan_state(
+      words, n_haps, n_words, id_num, haploid, has_windows, jobs, job_ind,
+      w_i, w_j, window_size, is_j_above_diag, min_m, genetic_positions,
+      n_positions, word_size, read_ahead, gap, max_seeds, skip);
+  st->accumulate = true;
+  return st;
+}
+
+long fastsmc_scan_words(void* handle, int w_begin, int w_end) {
+  ScanState* st = (ScanState*)handle;
+  st->scan_range(w_begin, w_end);
+  return (long)st->acc_id1.size();
+}
+
+long fastsmc_scan_finish(void* handle) {
+  ScanState* st = (ScanState*)handle;
+  st->clear_all_pairs();
+  return (long)st->acc_id1.size();
+}
+
+// copy accumulated matches out and clear the accumulator; returns n, or
+// -1 if capacity < n (retry with bigger buffers — state is untouched)
+long fastsmc_scan_take(void* handle, int32_t* out_id1, int32_t* out_id2,
+                       int64_t* out_from, int64_t* out_to, long capacity) {
+  ScanState* st = (ScanState*)handle;
+  const long n = (long)st->acc_id1.size();
+  if (n > capacity) return -1;
+  std::memcpy(out_id1, st->acc_id1.data(), n * sizeof(int32_t));
+  std::memcpy(out_id2, st->acc_id2.data(), n * sizeof(int32_t));
+  std::memcpy(out_from, st->acc_from.data(), n * sizeof(int64_t));
+  std::memcpy(out_to, st->acc_to.data(), n * sizeof(int64_t));
+  st->acc_id1.clear();
+  st->acc_id2.clear();
+  st->acc_from.clear();
+  st->acc_to.clear();
+  return n;
+}
+
+void fastsmc_scan_destroy(void* handle) { delete (ScanState*)handle; }
 
 // ---------------------------------------------------------------------------
 // bulk IBD text-record formatting (HMM.cpp:1114-1144 line layout)
@@ -337,12 +424,16 @@ long fastsmc_hash_scan(
 // bytes are identical to the Python path.
 // ---------------------------------------------------------------------------
 
-// returns bytes written, or -1 if out_cap would overflow
+// returns bytes written, or -1 if out_cap would overflow.
+// post_est / map_est (nullable, float32) append the reference default
+// profile's age columns (HMM.cpp:1179-1357, 13-column records).
 long fastsmc_format_ibd(long n, const char* id_blob, const int* id_off,
                         const int* ind1, const int* hap1, const int* ind2,
                         const int* hap2, const int64_t* pos_start,
                         const int64_t* pos_end, const float* length_cm,
                         int has_len, const double* score,
+                        const float* post_est, int has_post,
+                        const float* map_est, int has_map,
                         const char* chr_str, char* out, long out_cap) {
   long w = 0;
   for (long i = 0; i < n; i++) {
@@ -358,7 +449,18 @@ long fastsmc_format_ibd(long n, const char* id_blob, const int* id_off,
                          (double)length_cm[i]);
     }
     if (w < out_cap) {
-      w += std::snprintf(out + w, out_cap - w, "\t%.7g\n", score[i]);
+      w += std::snprintf(out + w, out_cap - w, "\t%.7g", score[i]);
+    }
+    if (has_post && w < out_cap) {
+      w += std::snprintf(out + w, out_cap - w, "\t%.7g",
+                         (double)post_est[i]);
+    }
+    if (has_map && w < out_cap) {
+      w += std::snprintf(out + w, out_cap - w, "\t%.7g",
+                         (double)map_est[i]);
+    }
+    if (w < out_cap) {
+      w += std::snprintf(out + w, out_cap - w, "\n");
     }
     // snprintf returns the would-be length: w > out_cap means this
     // record truncated (e.g. ids longer than the 320-byte headroom) —

@@ -243,14 +243,24 @@ class FastSMC:
                 self._flush(self._bn)
 
     def _drain_sort_buf(self, final: bool):
-        """Sort buffered candidates by window start and flush full batches;
-        keep a partial batch buffered unless ``final`` (stable sort keeps
-        the stream deterministic for resume)."""
+        """Sort buffered candidates and flush full batches; keep a partial
+        batch buffered unless ``final`` (stable sort keeps the stream
+        deterministic for resume).
+
+        Ordering is window-length-class major, then by start: batches then
+        hold candidates of one t_len bucket with adjacent starts, so the
+        batch-union window (the reference's permissive compromise,
+        HMM.cpp:560-565, sized for batch 32) stays near the candidates'
+        own windows even at batch 8192 — one long straggler no longer
+        widens a whole batch of short windows (decoded/candidate waste
+        was 11x on the 16k panel with arrival order)."""
         frm = np.concatenate([c[0] for c in self._sort_buf])
         to = np.concatenate([c[1] for c in self._sort_buf])
         id1 = np.concatenate([c[2] for c in self._sort_buf])
         id2 = np.concatenate([c[3] for c in self._sort_buf])
-        order = np.lexsort((to, frm))      # stable: by from, then to
+        wl = np.maximum(to - frm, 1)
+        cls = np.frexp(wl.astype(np.float64))[1]   # ceil log2 length class
+        order = np.lexsort((to, frm, cls))   # stable: cls, then from, to
         bs = self.params.batch_size
         keep = 0 if final else len(order) % bs
         emit = order[:len(order) - keep] if keep else order
@@ -374,9 +384,7 @@ class FastSMC:
                     for i in range(packed.shape[0])]
             lv_h = [r[1] for r in rows]
             per_batch: List = []
-            pps_rows = []           # (batch_i, n_runs) needing pps download
-            fast_emit = (not need_pps
-                         and isinstance(self._writer, writers.IbdTextWriter))
+            pps_rows = []           # (batch_i, n_runs) needing pps rows
             for i, e in enumerate(entries):
                 idx_h, lv_i, score_h, nb = rows[i]
                 pps_cap = res["pps"].shape[1] if need_pps else 0
@@ -388,20 +396,15 @@ class FastSMC:
                     while need_pps and self._pps_cap < nb:
                         self._pps_cap *= 2
                     continue
-                if fast_emit:
-                    # array-only path: no per-run Python objects
-                    per_batch.append(("runs",) + seg.runs_from_packed(
-                        idx_h, lv_i, score_h, nb, e["t_len"],
-                        int(e["end"] - e["frm"])))
-                    continue
-                segs = seg.segments_from_runs(
+                # array-only path: no per-run Python objects (both writers
+                # have write_block; ages attach as vectorised columns)
+                per_batch.append(("runs",) + seg.runs_from_packed(
                     idx_h, lv_i, score_h, nb, e["t_len"],
-                    int(e["end"] - e["frm"]), int(e["frm"]))
-                per_batch.append(segs)
-                if e["need_ages"] and segs:
+                    int(e["end"] - e["frm"])))
+                if e["need_ages"] and nb:
                     pps_rows.append((i, nb))
-            if pps_rows:
-                self._attach_pps(res["pps"], per_batch, pps_rows, lv_h)
+            ages = self._gather_run_ages(res["pps"], pps_rows, lv_h) \
+                if pps_rows else {}
             for i, e in enumerate(entries):
                 if per_batch[i] is None:          # overflow redo
                     segs, self._seg_cap = seg.extract_segments_device(
@@ -419,7 +422,7 @@ class FastSMC:
             for i, e in enumerate(entries):
                 pb = per_batch[i]
                 if isinstance(pb, tuple):         # array fast path
-                    self._emit_runs(e, *pb[1:])
+                    self._emit_runs(e, *pb[1:], pps=ages.get(i))
                 else:
                     segs = [s for s in pb if s.pair < e["n"]]
                     self._emit(segs, e["hap1"], e["hap2"])
@@ -435,9 +438,12 @@ class FastSMC:
                 self._drains_since_ckpt = 0
                 self._write_progress(done_idx)
 
-    def _emit_runs(self, e, pair, a, b, score_sum):
+    def _emit_runs(self, e, pair, a, b, score_sum, pps=None):
         """Vectorised emit from run arrays (window-relative a/b); byte-
-        identical to :meth:`_emit` + per-record writes."""
+        identical to :meth:`_emit` + per-record writes. ``pps`` ([n_kept,
+        age_threshold], aligned with the kept-run arrays) carries the age
+        columns of the reference default profile (HMM.cpp:1179-1357)."""
+        p = self.params
         keep = pair < e["n"]
         pair, a, b = pair[keep], a[keep], b[keep]
         score_sum = score_sum[keep]
@@ -446,46 +452,57 @@ class FastSMC:
         h1 = e["hap1"][pair]
         h2 = e["hap2"][pair]
         length = None
-        if self.params.output_ibd_segment_length:
+        if p.output_ibd_segment_length:
             gp32 = self._gp32
             length = np.float32(100.0) * (gp32[end] - gp32[start])
         score = score_sum.astype(np.float64) / (end - start + 1)
+        post_est = map_est = None
+        if pps is not None:
+            pps = pps[keep]
+            if p.do_per_pair_posterior_mean:
+                post_est = seg.posterior_mean_from_pps_block(
+                    pps, self.dq.expected_times)
+            if p.do_per_pair_map:
+                map_est = seg.map_from_pps_block(
+                    pps, self.dq.initial_state_prob, self.dq.expected_times)
         phys = self.data.physical_positions
         self._writer.write_block(h1 >> 1, 1 + (h1 & 1), h2 >> 1,
                                  1 + (h2 & 1), phys[start], phys[end],
-                                 length, score)
+                                 length, score, post_est, map_est)
         self.n_segments += len(pair)
 
-    def _attach_pps(self, pps_dev, per_batch, pps_rows, lv_h):
-        """Attach per-run posterior-state sums to the drained segments.
+    def _gather_run_ages(self, pps_dev, pps_rows, lv_h) -> dict:
+        """Per-run posterior-state sums for the kept (lv != 4) runs of
+        each batch: {batch_i: [n_kept, age_threshold] f32}, aligned with
+        ``runs_from_packed``'s keep filter (same order).
 
         Gathers only the rows of the runs that actually occurred (one
         dispatch + one download, ~KBs) instead of the full [B, pps_cap, K]
-        buffer. Rows are in run (idx) order; ``segments_from_runs`` kept
-        runs with lv != 4 in the same order, so the level filter maps rows
-        to segments."""
+        buffer."""
         import jax
         import jax.numpy as jnp
         B, cap, K = pps_dev.shape
         flat = []
         for (i, nb) in pps_rows:
-            flat.append(i * cap + np.arange(nb, dtype=np.int32))
-        flat = np.concatenate(flat)
-        n_tot = len(flat)
+            kept = np.flatnonzero(lv_h[i][:nb] != 4).astype(np.int32)
+            flat.append((i, i * cap + kept))
+        idx = np.concatenate([f[1] for f in flat]) if flat \
+            else np.zeros(0, np.int32)
+        n_tot = len(idx)
+        if n_tot == 0:
+            return {}
         pad = bucket_len(n_tot, 256) - n_tot
-        flat_p = np.concatenate([flat, np.zeros(pad, np.int32)])
+        idx_p = np.concatenate([idx, np.zeros(pad, np.int32)])
         rows = jnp.take(pps_dev.reshape(B * cap, K),
-                        jnp.asarray(flat_p), axis=0)
+                        jnp.asarray(idx_p), axis=0)
         rows_h = np.asarray(jax.device_get(rows))[:n_tot]
+        out = {}
         ofs = 0
-        for (i, nb) in pps_rows:
-            chunk = rows_h[ofs:ofs + nb]
-            ofs += nb
-            kept = np.flatnonzero(lv_h[i][:nb] != 4)
-            segs = per_batch[i]
-            assert len(kept) == len(segs), (len(kept), len(segs))
-            for s, j in zip(segs, kept):
-                s.pps = chunk[j, :self.age_threshold]
+        for i, f in flat:
+            nk = len(f)
+            out[i] = rows_h[ofs:ofs + nk, :self.age_threshold]
+            ofs += nk
+        return out
 
     def _finish_pending(self):
         if self._pending is None:

@@ -182,12 +182,17 @@ def decode_probe():
 
 def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
               profile: str = "fast", sort_list=(0, 8),
-              key: str = "e2e"):
+              key: str = "e2e", ages: bool = False,
+              keep_output: bool = False):
     """Full FastSMC pipeline wall-to-wall on the chip: host-native scan ->
     batched Pallas validation -> device segment extraction -> IBD writer.
     The VERDICT r2 #1 measurement: sustained end-to-end candidates/s with
     the PhaseTimer breakdown, at >= 795k candidates. Runs every
-    sort_batches variant in one process (shared panel + jit cache)."""
+    sort_batches variant in one process (shared panel + jit cache).
+
+    ``ages=True`` switches on the reference's DEFAULT FastSMC output
+    profile (segment length + perPairPosteriorMeans + perPairMAP,
+    DecodingParams.cpp:56-63 -> 13-column records, HMM.cpp:1179-1357)."""
     import jax
 
     from fastsmc_tpu.config import DecodingParams
@@ -196,7 +201,8 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
 
     print(json.dumps({"backend": jax.default_backend(),
                       "n_haps": n_haps, "batch": batch_size,
-                      "profile": profile, "sort_list": list(sort_list)}),
+                      "profile": profile, "sort_list": list(sort_list),
+                      "ages": ages}),
           flush=True)
     t0 = time.time()
     data = make_panel(n_haps)
@@ -204,14 +210,18 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
     dq = DecodingQuantities.load_npz(os.path.join(
         REPO, "artifacts", "n300.array.decodingQuantities.npz"))
     rows = []
+    paths = []
     for sort_batches in sort_list:
-        out_root = f"/tmp/biobank_e2e_{n_haps}_{profile}_{sort_batches}"
+        out_root = (f"/tmp/biobank_e2e_{n_haps}_{profile}_{sort_batches}"
+                    + ("_ages" if ages else ""))
         params = DecodingParams(
             fastsmc=True, hashing=True, batch_size=batch_size,
             in_file_root="/x", out_file_root=out_root,
             decoding_quant_file=os.path.join(
                 REPO, "artifacts", "n300.array.decodingQuantities.npz"),
-            min_m=1.5, use_known_seed=True)
+            min_m=1.5, use_known_seed=True,
+            output_ibd_segment_length=ages,
+            do_per_pair_posterior_mean=ages, do_per_pair_map=ages)
         f = FastSMC(params, data=data, dq=dq, use_pallas=True,
                     decode_profile=profile, sort_batches=sort_batches)
         t0 = time.time()
@@ -220,7 +230,7 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
         st = f.stats
         row = dict(
             n_haps=n_haps, sites=SITES, panel_gen_s=round(gen_s, 1),
-            batch_size=batch_size, profile=profile,
+            batch_size=batch_size, profile=profile, ages=ages,
             sort_batches=sort_batches,
             candidates=f._cpt, segments=f.n_segments,
             wall_s=round(wall, 1),
@@ -234,8 +244,11 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
             peak_rss_gb=peak_rss_gb())
         rows.append(row)
         print(json.dumps(row), flush=True)
-        os.remove(path)
+        paths.append(path)
+        if not keep_output:
+            os.remove(path)
     merge_result(key, rows)
+    return paths
 
 
 def main():
@@ -254,7 +267,8 @@ def main():
         sorts = tuple(int(x) for x in sys.argv[5].split(",")) \
             if len(sys.argv) > 5 else (0, 8)
         key = sys.argv[6] if len(sys.argv) > 6 else f"e2e_{n}"
-        e2e_probe(n, bs, prof, sorts, key)
+        ages = len(sys.argv) > 7 and sys.argv[7] == "ages"
+        e2e_probe(n, bs, prof, sorts, key, ages=ages)
     else:
         raise SystemExit(f"unknown phase {which}")
     print("BIOBANK_PROBE_OK")

@@ -191,3 +191,41 @@ def test_native_undistinguished_matches_python():
                 s = 298 - s
             py[i, d] = s
     assert np.array_equal(nat, py)
+
+
+def test_chunked_overlapped_scan_matches_single_shot():
+    """The chunked scan handle (producer-thread overlap path) must emit
+    the exact same candidate stream — matches AND order — as the
+    single-shot native scan, across chunk sizes that split matches mid-
+    extension (the extend-hash state carries across chunk boundaries)."""
+    from fastsmc_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    sites = 64 * 12
+    bits = rng.integers(0, 2, (40, sites)).astype(np.uint8)
+    for (a, b) in [(0, 5), (3, 17), (10, 22), (8, 9), (2, 29), (31, 38)]:
+        bits[b, 100:700] = bits[a, 100:700]
+    cm = np.linspace(0, 48, sites)
+    data = make_data(bits, cm)
+    for kw in ({}, {"max_seeds": 4}, {"gap": 2}):
+        p = params_for(min_m=1.0, **kw)
+        single = []
+        s = HashingScan(p, data, None)
+        s.array_callback = lambda i1, i2, f, t: single.append(
+            (i1.copy(), i2.copy(), f.copy(), t.copy()))
+        s.run(use_native=True, overlap=False)
+        flat_single = [np.concatenate([c[k] for c in single])
+                       for k in range(4)] if single else [np.array([])] * 4
+        for cw in (1, 2, 3, 5, 64):
+            chunks = []
+            sc = HashingScan(p, data, None)
+            sc.array_callback = lambda i1, i2, f, t: chunks.append(
+                (i1.copy(), i2.copy(), f.copy(), t.copy()))
+            sc.run(use_native=True, overlap=True, chunk_words=cw)
+            flat = [np.concatenate([c[k] for c in chunks])
+                    for k in range(4)] if chunks else [np.array([])] * 4
+            for k in range(4):
+                np.testing.assert_array_equal(
+                    flat[k], flat_single[k],
+                    err_msg=f"chunk_words={cw} params={kw} col={k}")

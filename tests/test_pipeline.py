@@ -435,9 +435,9 @@ def test_asmc_per_pair_streaming_outputs(tiny_panel, repo_root, tmp_path):
 def test_fastsmc_fused_group_path_matches(tiny_panel, repo_root, tmp_path):
     """The grouped validation flow (per-batch decode + extract_packed +
     in-jit extraction, Pallas interpret mode on CPU) must reproduce the
-    per-batch path: flush_group=2 (group max bucket + per-batch t_hi +
-    final dummy padding) vs flush_group=1, exact same output lines; and
-    the same segments as the XLA BatchedDecoder path."""
+    per-batch path: flush_group=2 (each batch dispatched at its own t_len
+    bucket, one stacked drain) vs flush_group=1, exact same output lines;
+    and the same segments as the XLA BatchedDecoder path."""
     from fastsmc_tpu.config import DecodingParams
     from fastsmc_tpu.pipelines.fastsmc import FastSMC
 
@@ -628,3 +628,35 @@ def test_no_hashing_enumeration_vectorized(tiny_panel, repo_root, tmp_path):
     with gzip.open(path, "rt") as fh:
         lines = fh.read().splitlines()
     assert lines  # within pairs of 150 diploids yield IBD-dense output
+
+
+def test_fastsmc_fused_binary_ages_matches_legacy(tiny_panel, repo_root,
+                                                  tmp_path):
+    """The fused array-only drain now covers the binary writer and the
+    age columns (reference default profile, HMM.cpp:1179-1357): a fused
+    binary run must carry the same records as the legacy per-record
+    binary path, ages included."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.io.writers import BinaryDataReader
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, _root2, planted, bits = tiny_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(tag, **kw):
+        params = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
+            batch_size=16, bin_out=True)
+        f = FastSMC(params, **kw)
+        path = f.run(verbose=False)
+        return [l.to_string() for l in BinaryDataReader(path)]
+
+    fused = run("fused", use_pallas="interpret", flush_group=2)
+    legacy = run("legacy", use_pallas=False)
+    keyed_f = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+               for l in fused}
+    keyed_l = {tuple(l.split("\t")[:7]): [float(x) for x in l.split("\t")[7:]]
+               for l in legacy}
+    assert keyed_f.keys() == keyed_l.keys() and keyed_f
+    for k, v in keyed_l.items():
+        np.testing.assert_allclose(keyed_f[k], v, rtol=2e-3, atol=2e-4)

@@ -172,3 +172,94 @@ def test_write_block_oversized_ids(tmp_path):
     w.write_block(ind1, hap1, ind2, hap2, ps, pe, None, score)
     w.close()
     assert gzip.open(a, "rb").read() == gzip.open(b, "rb").read()
+
+
+def test_binary_write_block_matches_per_record(tmp_path):
+    """IbdBinaryWriter.write_block must produce byte-identical output to
+    per-record write() for every optional-column combination."""
+    import gzip
+
+    import numpy as np
+
+    from fastsmc_tpu.io import writers
+
+    fam = [f"f{i}" for i in range(8)]
+    iid = [f"s{i}" for i in range(8)]
+    rng = np.random.default_rng(9)
+    n = 150
+    ind1 = rng.integers(0, 8, n).astype(np.int32)
+    ind2 = rng.integers(0, 8, n).astype(np.int32)
+    hap1 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    hap2 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    ps = rng.integers(0, 1 << 31 - 1, n).astype(np.int64)
+    pe = ps
+    length = (rng.random(n) * 30).astype(np.float32)
+    score = rng.random(n).astype(np.float64)
+    post = (rng.random(n) * 1e4).astype(np.float32)
+    mape = (rng.random(n) * 1e4).astype(np.float32)
+
+    for has_len in (True, False):
+        for has_post in (True, False):
+            for has_map in (True, False):
+                a = str(tmp_path / f"a{has_len}{has_post}{has_map}.bibd.gz")
+                b = str(tmp_path / f"b{has_len}{has_post}{has_map}.bibd.gz")
+                w = writers.IbdBinaryWriter(a, fam, iid, 7, has_len,
+                                            has_post, has_map)
+                for j in range(n):
+                    w.write(writers.IbdRecord(
+                        ind1=int(ind1[j]), hap1=int(hap1[j]),
+                        ind2=int(ind2[j]), hap2=int(hap2[j]),
+                        pos_start=int(ps[j]), pos_end=int(pe[j]),
+                        length_cm=length[j] if has_len else None,
+                        score=float(score[j]),
+                        post_est=post[j] if has_post else None,
+                        map_est=mape[j] if has_map else None))
+                w.close()
+                w = writers.IbdBinaryWriter(b, fam, iid, 7, has_len,
+                                            has_post, has_map)
+                w.write_block(ind1, hap1, ind2, hap2, ps, pe,
+                              length if has_len else None, score,
+                              post if has_post else None,
+                              mape if has_map else None)
+                w.close()
+                assert gzip.open(a, "rb").read() == gzip.open(b, "rb").read()
+
+
+def test_text_write_block_ages_matches_per_record(tmp_path):
+    """Text write_block with post/map columns (native formatter + Python
+    fallback) must match per-record write() byte-for-byte."""
+    import gzip
+
+    import numpy as np
+
+    from fastsmc_tpu.io import writers
+
+    fam = [f"f{i}" for i in range(8)]
+    iid = [f"s{i}" for i in range(8)]
+    rng = np.random.default_rng(13)
+    n = 150
+    ind1 = rng.integers(0, 8, n).astype(np.int32)
+    ind2 = rng.integers(0, 8, n).astype(np.int32)
+    hap1 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    hap2 = (1 + rng.integers(0, 2, n)).astype(np.int32)
+    ps = rng.integers(0, 1 << 40, n).astype(np.int64)
+    pe = ps + rng.integers(1, 1 << 20, n).astype(np.int64)
+    length = (rng.random(n) * 30).astype(np.float32)
+    score = rng.random(n).astype(np.float64)
+    post = (rng.random(n) * 1e4).astype(np.float32)
+    mape = (rng.random(n) * 1e4).astype(np.float32)
+
+    a = str(tmp_path / "a.ibd.gz")
+    b = str(tmp_path / "b.ibd.gz")
+    w = writers.IbdTextWriter(a, fam, iid, 7)
+    for j in range(n):
+        w.write(writers.IbdRecord(
+            ind1=int(ind1[j]), hap1=int(hap1[j]), ind2=int(ind2[j]),
+            hap2=int(hap2[j]), pos_start=int(ps[j]), pos_end=int(pe[j]),
+            length_cm=length[j], score=float(score[j]),
+            post_est=post[j], map_est=mape[j]))
+    w.close()
+    w = writers.IbdTextWriter(b, fam, iid, 7)
+    w.write_block(ind1, hap1, ind2, hap2, ps, pe, length, score, post, mape)
+    w.close()
+    assert gzip.open(a, "rb").read() == gzip.open(b, "rb").read()
