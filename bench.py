@@ -129,6 +129,59 @@ def bench_decode(ctx, data, on_tpu):
     return results
 
 
+def bench_sequence(on_tpu):
+    """Sequence-mode decodes/s (two half-steps/site with homozygous
+    emissions, reference HMM.cpp:760-770/915-925) — a first-class decoding
+    mode in the reference's mode matrix (DecodingParams.cpp:330-352)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.engine.oracle import DecodeContext
+    from fastsmc_tpu.io.decoding_quantities import DecodingQuantities
+    from fastsmc_tpu.io.haps import load_data
+
+    params = DecodingParams.asmc(
+        "/root/reference/FILES/EXAMPLE/exampleFile.n300",
+        os.path.join(ROOT, "artifacts", "n300.array.decodingQuantities.npz"),
+        out_file_root="/tmp/bench_seq", decoding_mode="sequence",
+        do_posterior_sums=True, use_known_seed=True)
+    data = load_data(params)
+    dq = DecodingQuantities.load_npz(params.decoding_quant_file)
+    ctx = DecodeContext.build(params, data, dq)
+    # the 97k-site sequence panel must decode in windows (one-shot alpha
+    # would be ~86 GB); bench one 8192-site window, as the chunked genome
+    # decode (decode_all_in_job chunk_sites) uses in production
+    T = 8192 if on_tpu else 512
+    rng = np.random.default_rng(0)
+    if on_tpu:
+        import jax.numpy as jnp
+        from fastsmc_tpu.engine.kernels import BwdOutputs, PallasDecoder
+        P = 4096                       # 2 half-steps double the alpha cost
+        dec = PallasDecoder(ctx, alpha_dtype=jnp.bfloat16, precision="fast")
+        outs = BwdOutputs(posterior=False, posterior_sums=True)
+        pa = rng.integers(0, data.n_haps, P).astype(np.int32)
+        pb = (pa + 1 + rng.integers(0, data.n_haps - 1, P)).astype(np.int32) \
+            % data.n_haps
+
+        def run(a, b):
+            return dec.decode_pairs(a, b, 0, T, outs, 0)
+    else:
+        from fastsmc_tpu.engine.hmm import BatchedDecoder
+        P = 32
+        dec = BatchedDecoder(ctx)
+        pa = rng.integers(0, data.n_haps, P).astype(np.int32)
+        pb = (pa + 1) % data.n_haps
+
+        def run(a, b):
+            return dec.decode_pairs(a, b, 0, T)
+
+    rate = _measure(run, pa, pb, min_s=3.0)
+    return {"window_decodes_per_sec": round(rate, 1), "batch_pairs": P,
+            "window_sites": T, "panel_sites": int(data.sites),
+            "full_panel_equiv_decodes_per_sec": round(
+                rate * T / data.sites, 1),
+            "note": "sequence mode (2 half-steps/site), fast profile, "
+                    "8192-site window of the 97k-site sequence panel"}
+
+
 def bench_pipeline(on_tpu):
     """Full FastSMC (hashing -> batched validation -> device segment
     extraction -> IBD writer) at a NON-TOY size: a 16,384-haplotype
@@ -161,32 +214,56 @@ def bench_pipeline(on_tpu):
 
     data = make_panel(16384)
     dq = None
-    # two runs: the first pays jit compiles/cache loads, the second is the
-    # steady state a long chromosome run sits at (same convention as
-    # BIOBANK_PROBE.json e2e_* — both are reported)
-    runs = []
-    for _ in range(2):
-        params = DecodingParams(
-            fastsmc=True, hashing=True, batch_size=8192,
-            in_file_root="/x", out_file_root="/tmp/bench_pipeline",
-            decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True)
-        f = FastSMC(params, data=data, dq=dq, use_pallas=True,
-                    decode_profile="fast", sort_batches=8)
-        dq = f.dq
-        t0 = time.time()
-        f.run(verbose=False)
-        runs.append(time.time() - t0)
-    dt = runs[-1]
-    st = f.stats
-    return {"candidates_per_sec": round(f._cpt / dt, 1),
-            "candidates": f._cpt, "segments": f.n_segments,
-            "wall_s": round(dt, 2), "cold_wall_s": round(runs[0], 2),
-            "phase_s": {k: round(v, 1) for k, v in f.timer.totals().items()},
-            "waste_decoded_over_cand": round(
-                st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
-            "note": "16,384-hap founder-mosaic panel, 6,400 sites, "
-                    "fast profile, batch 8192, sorted candidate windows; "
-                    "steady-state run (cold_wall_s = with compiles)"}
+
+    def one(ages, n_runs=2):
+        # first run pays jit compiles/cache loads, the last is the steady
+        # state a long chromosome run sits at (same convention as
+        # BIOBANK_PROBE.json e2e_* — both are reported)
+        nonlocal dq
+        runs = []
+        for _ in range(n_runs):
+            params = DecodingParams(
+                fastsmc=True, hashing=True, batch_size=8192,
+                in_file_root="/x", out_file_root="/tmp/bench_pipeline",
+                decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True,
+                output_ibd_segment_length=ages,
+                do_per_pair_posterior_mean=ages, do_per_pair_map=ages)
+            f = FastSMC(params, data=data, dq=dq, use_pallas=True,
+                        decode_profile="fast", sort_batches=32)
+            dq = f.dq
+            t0 = time.time()
+            f.run(verbose=False)
+            runs.append(time.time() - t0)
+        dt = runs[-1]
+        st = f.stats
+        return {"candidates_per_sec": round(f._cpt / dt, 1),
+                "candidates": f._cpt, "segments": f.n_segments,
+                "wall_s": round(dt, 2), "cold_wall_s": round(runs[0], 2),
+                "phase_s": {k: round(v, 1)
+                            for k, v in f.timer.totals().items()},
+                "waste_decoded_over_cand": round(
+                    st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1),
+                    2)}
+
+    out = one(ages=False)
+    out["ages_on"] = one(ages=True)
+    out["ages_on"]["note"] = ("reference DEFAULT output profile: 13-column "
+                              "records with per-segment posterior-mean + "
+                              "MAP ages (DecodingParams.cpp:56-63)")
+    out["note"] = ("16,384-hap founder-mosaic panel, 6,400 sites, fast "
+                   "profile, batch 8192, length-class-sorted candidate "
+                   "windows; steady-state run (cold_wall_s = with "
+                   "compiles)")
+    # at-scale evidence (98k haps, exact profile, ages on) lives in
+    # BIOBANK_PROBE.json — attach the round-4 rows when present
+    probe = os.path.join(ROOT, "BIOBANK_PROBE.json")
+    if os.path.exists(probe):
+        with open(probe) as fh:
+            pj = json.load(fh)
+        biobank = {k: v for k, v in pj.items() if "_r4_" in k}
+        if biobank:
+            out["biobank_e2e"] = biobank
+    return out
 
 
 def main():
@@ -196,6 +273,7 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
 
     decode = bench_decode(ctx, data, on_tpu)
+    sequence = bench_sequence(on_tpu)
     pipeline = bench_pipeline(on_tpu)
 
     out = {
@@ -203,8 +281,10 @@ def main():
         "value": round(decode["fast"], 1),
         "unit": "haplotype-pair full-sequence decodes/s (6760 sites, "
                 "69 states, fused posterior sums; fast profile: bf16 alpha "
-                "+ single-pass bf16 matmuls + block norm, ~9e-3 "
-                "posterior err)",
+                "+ single-pass bf16 matmuls + block norm — approximate "
+                "profile, F1-level contract: bp-F1 0.9976 vs exact, zero "
+                "byte-identical records; see 'exact' for the parity "
+                "profile)",
         "vs_baseline": round(decode["fast"] / BASELINE_PAIRS_PER_SEC, 2),
         "profile": "fast",
         "batch_pairs": decode.get("fast_batch"),
@@ -223,6 +303,7 @@ def main():
             "note": "bf16 operator storage; same numeric path as fast "
                     "(PROFILE_ACCURACY.json, ROOFLINE.md)",
         },
+        "sequence": sequence,
         "pipeline": pipeline,
     }
     print(json.dumps(out))
