@@ -727,3 +727,47 @@ class PallasDecoder:
                                 jnp.asarray(hap_a), jnp.asarray(hap_b),
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 10, 11))
+    def _decode_extract_jit(self, tables, hap_bits, hap_a, hap_b,
+                            t_len: int, state_threshold: int, t0, s0, s1,
+                            cap: int, pps_cap: int, prob_threshold):
+        from . import segments as seg
+        outs = BwdOutputs(posterior=True, posterior_sums=False,
+                          per_pair_mean=False, per_pair_map=False,
+                          threshold_sums=True)
+        r = self._decode_body(tables, hap_bits, hap_a, hap_b, t0, t_len,
+                              outs, state_threshold)
+        packed, pps = seg._extract_packed_impl(
+            r["threshold_sums"], s0, s1, prob_threshold, cap,
+            r["posterior"], pps_cap)
+        return packed, pps, r["threshold_sums"]
+
+    def decode_extract_packed(self, hap_a, hap_b, t0: int, t_len: int,
+                              state_threshold: int, s0, s1, prob_threshold,
+                              cap: int, pps_cap: int):
+        """One program: decode + in-jit run extraction + per-run posterior
+        sums (the age-estimates validation flow). Fusing keeps the [T, K,
+        P] posterior a program-INTERNAL temp — as a separate dispatch it
+        is a client buffer that must be allocated at dispatch time, and a
+        flush group's worth of them (e.g. 8 x [2048, 69, 8192] f32 = 38
+        GB) cannot coexist in the 15.75 GB HBM. Temps are per-execution
+        and executions are in-order, so peak memory is ONE program's.
+
+        Returns (packed row [2*cap+1] i32, pps [min(cap,pps_cap), K],
+        threshold_sums [T, P]) — same contract as
+        ``segments.extract_packed`` after a ``decode_pairs`` call."""
+        T, P = int(t_len), len(hap_a)
+        if T * P >= 1 << 28:
+            raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
+                             "boundary encoding")
+        if cap <= 0 or cap % 256 or pps_cap <= 0 or pps_cap % 256:
+            raise ValueError(f"cap={cap}/pps_cap={pps_cap} must be "
+                             "positive multiples of 256")
+        pps_cap = min(pps_cap, cap)
+        return self._decode_extract_jit(
+            self._tables(), self.hap_bits, jnp.asarray(hap_a),
+            jnp.asarray(hap_b), int(t_len), int(state_threshold),
+            jnp.asarray(t0, jnp.int32), jnp.asarray(s0, jnp.int32),
+            jnp.asarray(s1, jnp.int32), int(cap), int(pps_cap),
+            jnp.asarray(prob_threshold, jnp.float32))

@@ -177,6 +177,11 @@ class FastSMC:
         self._group: List[dict] = []
         self._gpending = None
         self._pps_cap = 8192
+        # age-estimates posterior guard (see _flush_entry): cap t_len * P
+        # so one program's [t_len, K, P] f32 posterior temp plus the alpha
+        # stream fit the 15.75 GB HBM with headroom. 8M elements ~= 4.1 GB
+        # posterior at the padded K=128.
+        self._post_budget = 8 << 20
         self._gp32 = np.float32(self.data.genetic_positions)
         # candidate sorting buffer (see __init__ docstring): column arrays
         # (from, to, id1, id2) accumulated until sort_batches*batch_size
@@ -247,20 +252,24 @@ class FastSMC:
         batch buffered unless ``final`` (stable sort keeps the stream
         deterministic for resume).
 
-        Ordering is window-length-class major, then by start: batches then
-        hold candidates of one t_len bucket with adjacent starts, so the
-        batch-union window (the reference's permissive compromise,
-        HMM.cpp:560-565, sized for batch 32) stays near the candidates'
-        own windows even at batch 8192 — one long straggler no longer
-        widens a whole batch of short windows (decoded/candidate waste
-        was 11x on the 16k panel with arrival order)."""
+        Ordering is genomic-region major (from//512), then window-length
+        class, then start: batches hold candidates from one ~512-site
+        region with similar lengths, so the batch-union window (the
+        reference's permissive compromise, HMM.cpp:560-565, sized for
+        batch 32) stays near the candidates' own windows even at batch
+        8192 — one long straggler no longer widens a whole batch of short
+        windows. Measured on the 16k founder-mosaic stream (batch 8192):
+        arrival order decodes 10.95x the candidate site-pairs over 96.5k
+        grid steps; this key decodes 7.13x over 62.8k steps (region-major
+        keeps same-pair candidates adjacent, unlike a pure length-class
+        sort, which tripled duplicated segment output)."""
         frm = np.concatenate([c[0] for c in self._sort_buf])
         to = np.concatenate([c[1] for c in self._sort_buf])
         id1 = np.concatenate([c[2] for c in self._sort_buf])
         id2 = np.concatenate([c[3] for c in self._sort_buf])
         wl = np.maximum(to - frm, 1)
         cls = np.frexp(wl.astype(np.float64))[1]   # ceil log2 length class
-        order = np.lexsort((to, frm, cls))   # stable: cls, then from, to
+        order = np.lexsort((to, frm, cls, frm // 512))
         bs = self.params.batch_size
         keep = 0 if final else len(order) % bs
         emit = order[:len(order) - keep] if keep else order
@@ -273,54 +282,71 @@ class FastSMC:
     def _flush(self, n: int):
         if n == 0:
             return
-        if self._batch_idx < self._resume_skip:
-            self._batch_idx += 1
-            self._bn = 0
-            return
-        self._batch_idx += 1
+        h1 = self._bh1[:n].copy()
+        h2 = self._bh2[:n].copy()
+        fr = self._from[:n].copy()
+        to = self._to[:n].copy()
+        self._bn = 0
+        self._flush_entry(h1, h2, fr, to, self.params.batch_size)
+
+    def _flush_entry(self, h1, h2, fr, to, pad_to: int):
+        n = len(h1)
         p = self.params
         g = self.data.genetic_positions
-        start_batch = int(self._from[:n].min())
-        end_batch = int(self._to[:n].max())
+        start_batch = int(fr.min())
+        end_batch = int(to.max())
         frm = get_from_position(g, start_batch)
-        to = get_to_position(g, end_batch)
+        t2 = get_to_position(g, end_batch)
+        t_len = bucket_len(t2 - frm)
+        need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
 
-        hap1 = self._bh1[:n].copy()
-        hap2 = self._bh2[:n].copy()
+        # posterior memory guard: age estimates materialize [t_len, K, P]
+        # f32 between the decode and extract dispatches; a wide-union batch
+        # at t_len 8192 x P 8192 is 19.3 GB and cannot compile into the
+        # 15.75 GB HBM. Split the pair axis (candidates stay in stream
+        # order, so each half's own union usually also shrinks) until the
+        # posterior fits the per-batch budget.
+        if (need_ages and pad_to > 256 and n > 1
+                and t_len * pad_to > self._post_budget):
+            k = (n + 1) // 2
+            self._flush_entry(h1[:k], h2[:k], fr[:k], to[:k], pad_to // 2)
+            self._flush_entry(h1[k:], h2[k:], fr[k:], to[k:], pad_to // 2)
+            return
+
+        if self._batch_idx < self._resume_skip:
+            self._batch_idx += 1
+            return
+        self._batch_idx += 1
+
         # pad to a fixed batch width (one jit shape), like the reference pads
         # to a VECX multiple (HMM.cpp:617-621)
-        if n < p.batch_size:
-            fill = p.batch_size - n
-            hap1 = np.concatenate([hap1, np.full(fill, hap1[-1], np.int32)])
-            hap2 = np.concatenate([hap2, np.full(fill, hap2[-1], np.int32)])
-        t_len = bucket_len(to - frm)
+        if n < pad_to:
+            fill = pad_to - n
+            h1 = np.concatenate([h1, np.full(fill, h1[-1], np.int32)])
+            h2 = np.concatenate([h2, np.full(fill, h2[-1], np.int32)])
 
         self.stats["flushes"] += 1
         self.stats["union_site_pairs"] += (end_batch - start_batch) * n
-        self.stats["cand_site_pairs"] += int(
-            (self._to[:n] - self._from[:n]).sum())
-
-        need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
-        self._bn = 0
+        self.stats["cand_site_pairs"] += int((to - fr).sum())
 
         if self._fused:
             self._group.append(dict(
-                hap1=hap1, hap2=hap2, n=n, frm=frm, to=to,
+                hap1=h1, hap2=h2, n=n, frm=frm, to=t2,
                 start=start_batch, end=end_batch, t_len=t_len,
-                need_ages=need_ages, idx=self._batch_idx))
+                P=pad_to, need_ages=need_ages, idx=self._batch_idx))
             if len(self._group) >= self.flush_group:
                 self._dispatch_group()
             return
 
-        self.stats["decoded_site_pairs"] += t_len * p.batch_size
+        self.stats["decoded_site_pairs"] += t_len * pad_to
         with self.timer.phase("decode"):
-            post, th_sums = self._decode(hap1, hap2, frm, t_len, need_ages)
+            post, th_sums = self._decode(h1, h2, frm, t_len, need_ages)
 
         # host-side work for the PREVIOUS batch happens while this batch's
         # decode runs on device (in-order execution keeps results exact)
         self._finish_pending()
         self._pending = (th_sums, post, n, frm, start_batch, end_batch,
-                         hap1, hap2, need_ages, self._batch_idx)
+                         h1, h2, need_ages, self._batch_idx)
 
     # ------------------------------------------------------------------
     # fused grouped path: one device dispatch per flush group, packed run
@@ -331,30 +357,40 @@ class FastSMC:
             return
         entries = self._group
         self._group = []
-        bs = self.params.batch_size
         need_pps = any(e["need_ages"] for e in entries)
         self.stats["decoded_site_pairs"] += \
-            sum(e["t_len"] for e in entries) * bs
+            sum(e["t_len"] * e["P"] for e in entries)
         outs = self._bwd_outputs_cls(
-            posterior=need_pps, posterior_sums=False, threshold_sums=True)
+            posterior=False, posterior_sums=False, threshold_sums=True)
 
         # per-batch decode dispatches (cheap and FASTER than fusing the
         # group into one program: MULTI_VARIANT_PROBE.json measured
         # ~26 ms/batch for any one-jit grouping vs 7.4 ms dispatched
         # separately) + per-batch in-jit extraction; then one stacking
         # dispatch and an async D2H so the drain doesn't wait behind the
-        # next group's execution in the in-order device queue.
+        # next group's execution in the in-order device queue. With ages
+        # on, decode+extract fuse into ONE program per batch so the
+        # [T, K, P] posterior is a program-internal temp (a flush group
+        # of separate posterior buffers would not fit HBM).
         ths, packs, ppss = [], [], []
+        fuse_ages = need_pps and hasattr(self.decoder,
+                                         "decode_extract_packed")
         with self.timer.phase("decode"):
             for e in entries:
-                r = self.decoder.decode_pairs(
-                    e["hap1"], e["hap2"], e["frm"], e["t_len"], outs,
-                    self.state_threshold)
-                th = r["threshold_sums"]
-                packed, pps = seg.extract_packed(
-                    th, e["start"] - e["frm"], e["end"] - e["frm"],
-                    self.prob_threshold, self._seg_cap,
-                    r["posterior"] if need_pps else None, self._pps_cap)
+                if fuse_ages:
+                    packed, pps, th = self.decoder.decode_extract_packed(
+                        e["hap1"], e["hap2"], e["frm"], e["t_len"],
+                        self.state_threshold, e["start"] - e["frm"],
+                        e["end"] - e["frm"], self.prob_threshold,
+                        self._seg_cap, self._pps_cap)
+                else:
+                    r = self.decoder.decode_pairs(
+                        e["hap1"], e["hap2"], e["frm"], e["t_len"], outs,
+                        self.state_threshold)
+                    th = r["threshold_sums"]
+                    packed, pps = seg.extract_packed(
+                        th, e["start"] - e["frm"], e["end"] - e["frm"],
+                        self.prob_threshold, self._seg_cap, None, 0)
                 ths.append(th)
                 packs.append(packed)
                 ppss.append(pps)

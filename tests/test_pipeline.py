@@ -660,3 +660,58 @@ def test_fastsmc_fused_binary_ages_matches_legacy(tiny_panel, repo_root,
     assert keyed_f.keys() == keyed_l.keys() and keyed_f
     for k, v in keyed_l.items():
         np.testing.assert_allclose(keyed_f[k], v, rtol=2e-3, atol=2e-4)
+
+
+def test_fastsmc_posterior_budget_split_matches(repo_root, tmp_path):
+    """The age-estimates posterior guard splits wide-union batches down
+    the pair axis (HBM cannot hold [8192, K, 8192] f32). With a tiny
+    budget every flush splits repeatedly; the output must still carry the
+    same IBD pairs as the unsplit run (each sub-batch scans its own,
+    narrower union — same permissive-window contract)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    # dense panel: ~24 planted pairs so a batch holds many candidates
+    rng = np.random.default_rng(5)
+    n_ind, sites = 150, 640
+    n_haps = 2 * n_ind
+    freqs = rng.uniform(0.05, 0.5, sites)
+    bits = (rng.random((n_haps, sites)) < freqs).astype(np.uint8)
+    for i in range(24):
+        a, b = rng.choice(n_haps, 2, replace=False)
+        s0 = rng.integers(0, 128)
+        bits[b, s0:s0 + 448] = bits[a, s0:s0 + 448]
+    bp = (np.arange(sites) + 1) * 5000
+    cm = np.linspace(0.0, 8.0, sites)
+    root = str(tmp_path / "panel")
+    with gzip.open(root + ".hap.gz", "wt") as f:
+        for s in range(sites):
+            f.write(f"1 SNP_{s} {bp[s]} A G "
+                    + " ".join(str(int(x)) for x in bits[:, s]) + "\n")
+    with open(root + ".samples", "w") as f:
+        f.write("ID_1 ID_2 missing\n0 0 0\n")
+        for i in range(n_ind):
+            f.write(f"fam{i} ind{i} 0\n")
+    with gzip.open(root + ".map.gz", "wt") as f:
+        f.write("pos rate cm\n")
+        for s in range(sites):
+            f.write(f"{bp[s]}\t0\t{cm[s]}\n")
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(tag, budget=None):
+        params = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / tag), use_known_seed=True, min_m=0.5,
+            batch_size=1024)
+        f = FastSMC(params, use_pallas="interpret", flush_group=2)
+        if budget:
+            f._post_budget = budget
+        path = f.run(verbose=False)
+        with gzip.open(path, "rt") as fh:
+            return f, fh.read().splitlines()
+
+    f0, want = run("nosplit")
+    f1, got = run("split", budget=64)   # forces splits down to pad 256
+    assert f1.stats["flushes"] > f0.stats["flushes"]
+    pairs_w = {tuple(l.split("\t")[:6]) for l in want}
+    pairs_g = {tuple(l.split("\t")[:6]) for l in got}
+    assert pairs_g == pairs_w
