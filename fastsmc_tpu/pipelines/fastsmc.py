@@ -177,11 +177,18 @@ class FastSMC:
         self._group: List[dict] = []
         self._gpending = None
         self._pps_cap = 8192
-        # age-estimates posterior guard (see _flush_entry): cap t_len * P
-        # so one program's [t_len, K, P] f32 posterior temp plus the alpha
-        # stream fit the 15.75 GB HBM with headroom. 8M elements ~= 4.1 GB
-        # posterior at the padded K=128.
+        # decode memory guard (see _flush_entry): cap t_len * P so one
+        # program's big per-site buffers fit the 15.75 GB HBM with
+        # headroom. With age estimates the [t_len, K, P] f32 posterior
+        # temp dominates (8M elements ~= 4.1 GB at the padded K=128);
+        # otherwise the alpha stream does (f32 exact: 16M ~= 5.2 GB at
+        # KA=80; bf16 fast/turbo: 32M). A chromosome-wide union batch at
+        # t_len 8192 x P 8192 is 19.3 GB in f32 either way — the split
+        # keeps arbitrary candidate streams compilable at any batch size.
         self._post_budget = 8 << 20
+        alpha_bytes = getattr(getattr(self.decoder, "alpha_dtype", None),
+                              "itemsize", 4)
+        self._alpha_budget = (32 << 20) if alpha_bytes == 2 else (16 << 20)
         self._gp32 = np.float32(self.data.genetic_positions)
         # candidate sorting buffer (see __init__ docstring): column arrays
         # (from, to, id1, id2) accumulated until sort_batches*batch_size
@@ -190,7 +197,8 @@ class FastSMC:
         self._sort_n = 0
         # window-waste accounting (VERDICT r2: measure batch-union waste)
         self.stats = {"decoded_site_pairs": 0, "union_site_pairs": 0,
-                      "cand_site_pairs": 0, "flushes": 0}
+                      "cand_site_pairs": 0, "flushes": 0,
+                      "overflow_redos": 0}
 
     # ------------------------------------------------------------------
     def _open_writer(self, append: bool = False):
@@ -300,14 +308,14 @@ class FastSMC:
         t_len = bucket_len(t2 - frm)
         need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
 
-        # posterior memory guard: age estimates materialize [t_len, K, P]
-        # f32 between the decode and extract dispatches; a wide-union batch
-        # at t_len 8192 x P 8192 is 19.3 GB and cannot compile into the
-        # 15.75 GB HBM. Split the pair axis (candidates stay in stream
-        # order, so each half's own union usually also shrinks) until the
-        # posterior fits the per-batch budget.
-        if (need_ages and pad_to > 256 and n > 1
-                and t_len * pad_to > self._post_budget):
+        # decode memory guard: a wide-union batch materializes per-site
+        # buffers ([t_len, K, P] f32 posterior with ages; the [t_len, KA,
+        # P] alpha stream otherwise) that at t_len 8192 x P 8192 reach
+        # 19.3 GB and cannot compile into the 15.75 GB HBM. Split the
+        # pair axis (candidates stay in stream order, so each half's own
+        # union usually also shrinks) until the program fits the budget.
+        budget = self._post_budget if need_ages else self._alpha_budget
+        if (pad_to > 256 and n > 1 and t_len * pad_to > budget):
             k = (n + 1) // 2
             self._flush_entry(h1[:k], h2[:k], fr[:k], to[:k], pad_to // 2)
             self._flush_entry(h1[k:], h2[k:], fr[k:], to[k:], pad_to // 2)
@@ -427,6 +435,7 @@ class FastSMC:
                 if nb > cap or (need_pps and e["need_ages"]
                                 and nb > pps_cap):
                     per_batch.append(None)        # overflow: redo below
+                    self.stats["overflow_redos"] += 1
                     while self._seg_cap < nb:
                         self._seg_cap *= 2
                     while need_pps and self._pps_cap < nb:

@@ -194,6 +194,19 @@ def phase_device():
     scan_sweep(device=True)
 
 
+def phase_steady():
+    """Steady-state reruns of the headline e2e configs (runs=2, report
+    the second run — warm jit/disk cache, quiet host). Overwrites the
+    r4 keys with clean numbers."""
+    for n in (16_384, 98_304):
+        e2e_probe(n, 8192, "fast", (0, 32), key=f"e2e_{n}_r4_fast",
+                  ages=False, runs=2)
+        e2e_probe(n, 8192, "fast", (32,), key=f"e2e_{n}_r4_fast_ages",
+                  ages=True, runs=2)
+        e2e_probe(n, 8192, "exact", (32,), key=f"e2e_{n}_r4_exact_ages",
+                  ages=True, runs=2)
+
+
 def main():
     import jax
     log(f"backend: {jax.default_backend()}")
@@ -201,7 +214,7 @@ def main():
     phases = dict(goldens=phase_goldens, seq=phase_seq, mesh=phase_mesh,
                   e2e16=lambda: phase_e2e(16_384),
                   e2e98=lambda: phase_e2e(98_304),
-                  device=phase_device)
+                  device=phase_device, steady=phase_steady)
     names = list(phases) if which == "all" else which.split(",")
     for name in names:
         log(f"=== phase {name} ===")
