@@ -194,6 +194,43 @@ def phase_device():
     scan_sweep(device=True)
 
 
+def phase_agree():
+    """Apples-to-apples ages-on vs ages-off: force the ages posterior
+    budget onto the ages-off run so BOTH runs split identically — then
+    the 13-column output must carry the same intervals (the earlier
+    jaccard-0.93 gap was batching, not ages: the posterior guard splits
+    only ages runs by default, changing unions)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    data = make_panel(16_384)
+    dq_path = os.path.join(REPO, "artifacts",
+                           "n300.array.decodingQuantities.npz")
+    ivs = {}
+    dq = None
+    for ages in (False, True):
+        params = DecodingParams(
+            fastsmc=True, hashing=True, batch_size=8192,
+            in_file_root="/x", out_file_root=f"/tmp/agree_{ages}",
+            decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True,
+            output_ibd_segment_length=ages,
+            do_per_pair_posterior_mean=ages, do_per_pair_map=ages)
+        f = FastSMC(params, data=data, dq=dq, use_pallas=True,
+                    decode_profile="fast", sort_batches=32)
+        dq = f.dq
+        f._alpha_budget = f._post_budget   # identical split schedule
+        path = f.run(verbose=False)
+        ivs[ages] = _intervals(path)
+        os.remove(path)
+    both = {k[:9] for k in ivs[True]} & {k[:9] for k in ivs[False]}
+    report = dict(
+        n_off=len(ivs[False]), n_on=len(ivs[True]),
+        interval_jaccard=round(
+            len(both) / max(len(ivs[True] | ivs[False]), 1), 6))
+    log(f"same-batching ages agreement: {json.dumps(report)}")
+    merge_result("e2e_16384_r4_ages_agreement_samebatching", report)
+
+
 def phase_steady():
     """Steady-state reruns of the headline e2e configs (runs=2, report
     the second run — warm jit/disk cache, quiet host). Overwrites the
@@ -214,7 +251,8 @@ def main():
     phases = dict(goldens=phase_goldens, seq=phase_seq, mesh=phase_mesh,
                   e2e16=lambda: phase_e2e(16_384),
                   e2e98=lambda: phase_e2e(98_304),
-                  device=phase_device, steady=phase_steady)
+                  device=phase_device, steady=phase_steady,
+                  agree=phase_agree)
     names = list(phases) if which == "all" else which.split(",")
     for name in names:
         log(f"=== phase {name} ===")
