@@ -156,9 +156,11 @@ class FastSMC:
         self._resume_skip = 0
         # device-extraction boundary capacity; grows sticky so batch-heavy
         # runs compile the boundary kernel for at most a few cap buckets.
-        # 4096 covers ~2x the densest observed biobank flush (~2k runs);
-        # the in-jit compaction + packed download scale with cap
-        self._seg_cap = 4096
+        # Scaled with the batch size: dense biobank flushes at batch 8192
+        # emit >4096 runs routinely (round-4 steady runs hit 17 overflow
+        # redos per 98k pass at a flat 4096); the packed row/compaction
+        # cost scales only linearly with cap.
+        self._seg_cap = max(4096, bs)
         # deferred host finish: while batch N's decode runs on device, the
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)

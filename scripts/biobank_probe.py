@@ -223,12 +223,20 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
             output_ibd_segment_length=ages,
             do_per_pair_posterior_mean=ages, do_per_pair_map=ages)
         walls = []
+        cpu_util = 0.0
         for _ in range(runs):
             f = FastSMC(params, data=data, dq=dq, use_pallas=True,
                         decode_profile=profile, sort_batches=sort_batches)
+            ru0 = resource.getrusage(resource.RUSAGE_SELF)
             t0 = time.time()
             path = f.run(verbose=True)
             walls.append(time.time() - t0)
+            ru1 = resource.getrusage(resource.RUSAGE_SELF)
+            # cores busy during the run (2-core box): the host-saturation
+            # measurement VERDICT r3 do #3 asks for
+            cpu_util = round(((ru1.ru_utime - ru0.ru_utime)
+                              + (ru1.ru_stime - ru0.ru_stime))
+                             / max(walls[-1], 1e-9), 2)
         wall = walls[-1]
         st = f.stats
         row = dict(
@@ -246,6 +254,7 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
                 st["union_site_pairs"] / max(st["cand_site_pairs"], 1), 2),
             flushes=st["flushes"],
             overflow_redos=st.get("overflow_redos", 0),
+            cpu_cores_busy=cpu_util,
             peak_rss_gb=peak_rss_gb())
         rows.append(row)
         print(json.dumps(row), flush=True)
