@@ -228,8 +228,11 @@ def bench_pipeline(on_tpu):
                 decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True,
                 output_ibd_segment_length=ages,
                 do_per_pair_posterior_mean=ages, do_per_pair_map=ages)
+            # arrival order: at 16k density the scan/validation overlap
+            # dominates and the sort buffer stalls it (ROOFLINE.md r4
+            # addendum); sort_batches=32 is for denser panels
             f = FastSMC(params, data=data, dq=dq, use_pallas=True,
-                        decode_profile="fast", sort_batches=32)
+                        decode_profile="fast", sort_batches=0)
             dq = f.dq
             t0 = time.time()
             f.run(verbose=False)
@@ -251,9 +254,9 @@ def bench_pipeline(on_tpu):
                               "records with per-segment posterior-mean + "
                               "MAP ages (DecodingParams.cpp:56-63)")
     out["note"] = ("16,384-hap founder-mosaic panel, 6,400 sites, fast "
-                   "profile, batch 8192, length-class-sorted candidate "
-                   "windows; steady-state run (cold_wall_s = with "
-                   "compiles)")
+                   "profile, batch 8192, arrival-order candidates with "
+                   "the overlapped chunked scan; steady-state run "
+                   "(cold_wall_s = with compiles)")
     # at-scale evidence (98k haps, exact profile, ages on) lives in
     # BIOBANK_PROBE.json — attach the round-4 rows when present
     probe = os.path.join(ROOT, "BIOBANK_PROBE.json")

@@ -156,11 +156,12 @@ class FastSMC:
         self._resume_skip = 0
         # device-extraction boundary capacity; grows sticky so batch-heavy
         # runs compile the boundary kernel for at most a few cap buckets.
-        # Scaled with the batch size: dense biobank flushes at batch 8192
-        # emit >4096 runs routinely (round-4 steady runs hit 17 overflow
-        # redos per 98k pass at a flat 4096); the packed row/compaction
-        # cost scales only linearly with cap.
-        self._seg_cap = max(4096, bs)
+        # 4096 is the measured sweet spot: extraction cost scales with
+        # cap (a flat 8192 cap cost the 16k e2e ~45% wall), while
+        # overflow redos are bounded by the in-flight groups at the
+        # moment the sticky growth lands (~2 groups, measured 13-17
+        # redos once per 98k run — cheaper than the per-flush tax).
+        self._seg_cap = 4096
         # deferred host finish: while batch N's decode runs on device, the
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
@@ -753,10 +754,14 @@ class FastSMC:
                     from ..hashing.vectorized import VectorizedHashingScan
                     scan = VectorizedHashingScan(self.params, self.data,
                                                  self._on_match)
+                    scan.run(verbose=verbose)
                 else:
                     scan = HashingScan(self.params, self.data, self._on_match)
                     scan.array_callback = self._on_matches_array
-                scan.run(verbose=verbose)
+                    # FASTSMC_NO_OVERLAP=1 falls back to the monolithic
+                    # scan (A/B knob for the producer-thread overlap)
+                    scan.run(verbose=verbose, overlap=not os.environ.get(
+                        "FASTSMC_NO_OVERLAP"))
             if self._sort_buf:
                 self._drain_sort_buf(final=True)
             self._flush(self._bn)
