@@ -231,6 +231,25 @@ def phase_agree():
     merge_result("e2e_16384_r4_ages_agreement_samebatching", report)
 
 
+def phase_final():
+    """Final round-4 re-pin at the production defaults (extraction cap
+    4096, arrival order, overlap on), plus the overlap on/off A/B."""
+    for n in (16_384, 98_304):
+        e2e_probe(n, 8192, "fast", (0,), key=f"e2e_{n}_r4_fast",
+                  ages=False, runs=2)
+        os.environ["FASTSMC_NO_OVERLAP"] = "1"
+        try:
+            e2e_probe(n, 8192, "fast", (0,),
+                      key=f"e2e_{n}_r4_fast_no_overlap", ages=False,
+                      runs=2)
+        finally:
+            os.environ.pop("FASTSMC_NO_OVERLAP", None)
+        e2e_probe(n, 8192, "fast", (0,), key=f"e2e_{n}_r4_fast_ages",
+                  ages=True, runs=2)
+        e2e_probe(n, 8192, "exact", (0,), key=f"e2e_{n}_r4_exact_ages",
+                  ages=True, runs=2)
+
+
 def phase_steady():
     """Steady-state reruns of the headline e2e configs (runs=2, report
     the second run — warm jit/disk cache, quiet host). Overwrites the
@@ -251,7 +270,7 @@ def main():
     phases = dict(goldens=phase_goldens, seq=phase_seq, mesh=phase_mesh,
                   e2e16=lambda: phase_e2e(16_384),
                   e2e98=lambda: phase_e2e(98_304),
-                  device=phase_device, steady=phase_steady,
+                  device=phase_device, steady=phase_steady, final=phase_final,
                   agree=phase_agree)
     names = list(phases) if which == "all" else which.split(",")
     for name in names:

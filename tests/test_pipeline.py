@@ -715,3 +715,55 @@ def test_fastsmc_posterior_budget_split_matches(repo_root, tmp_path):
     pairs_w = {tuple(l.split("\t")[:6]) for l in want}
     pairs_g = {tuple(l.split("\t")[:6]) for l in got}
     assert pairs_g == pairs_w
+
+
+def test_ages_never_change_detection(repo_root, tmp_path):
+    """Age estimates add columns, not segments: with identical batching
+    (equal split budgets) the ages-on run must carry exactly the same
+    intervals as ages-off (reference semantics: the segment state machine
+    never reads the age columns, HMM.cpp:1179-1357)."""
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    rng = np.random.default_rng(5)
+    n_ind, sites = 150, 640
+    n_haps = 2 * n_ind
+    freqs = rng.uniform(0.05, 0.5, sites)
+    bits = (rng.random((n_haps, sites)) < freqs).astype(np.uint8)
+    for i in range(24):
+        a, b = rng.choice(n_haps, 2, replace=False)
+        s0 = rng.integers(0, 128)
+        bits[b, s0:s0 + 448] = bits[a, s0:s0 + 448]
+    bp = (np.arange(sites) + 1) * 5000
+    cm = np.linspace(0.0, 8.0, sites)
+    root = str(tmp_path / "panel")
+    with gzip.open(root + ".hap.gz", "wt") as f:
+        for s in range(sites):
+            f.write(f"1 SNP_{s} {bp[s]} A G "
+                    + " ".join(str(int(x)) for x in bits[:, s]) + "\n")
+    with open(root + ".samples", "w") as f:
+        f.write("ID_1 ID_2 missing\n0 0 0\n")
+        for i in range(n_ind):
+            f.write(f"fam{i} ind{i} 0\n")
+    with gzip.open(root + ".map.gz", "wt") as f:
+        f.write("pos rate cm\n")
+        for s in range(sites):
+            f.write(f"{bp[s]}\t0\t{cm[s]}\n")
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    ivs = {}
+    for ages in (False, True):
+        p = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / f"o{ages}"), use_known_seed=True,
+            min_m=0.5, batch_size=64)
+        if not ages:
+            p.do_per_pair_posterior_mean = False
+            p.do_per_pair_map = False
+            p.output_ibd_segment_length = False
+        f = FastSMC(p, use_pallas="interpret", flush_group=2)
+        f._alpha_budget = f._post_budget    # identical split schedule
+        path = f.run(verbose=False)
+        with gzip.open(path, "rt") as fh:
+            ivs[ages] = {tuple(l.split("\t")[:9])
+                         for l in fh.read().splitlines()}
+    assert ivs[True] == ivs[False]
