@@ -156,12 +156,17 @@ class FastSMC:
         self._resume_skip = 0
         # device-extraction boundary capacity; grows sticky so batch-heavy
         # runs compile the boundary kernel for at most a few cap buckets.
-        # 4096 is the measured sweet spot: extraction cost scales with
-        # cap (a flat 8192 cap cost the 16k e2e ~45% wall), while
-        # overflow redos are bounded by the in-flight groups at the
-        # moment the sticky growth lands (~2 groups, measured 13-17
-        # redos once per 98k run — cheaper than the per-flush tax).
-        self._seg_cap = 4096
+        # 4096 is the measured sweet spot for ages-off runs: extraction
+        # cost scales with cap (a flat 8192 cap cost the 16k e2e ~45%
+        # wall), while an ages-off overflow redo only re-extracts from
+        # the saved threshold sums (bounded: the in-flight groups when
+        # sticky growth lands, 13-17 redos per 98k run). With age
+        # estimates the redo must RE-DECODE the batch with posterior
+        # (the fused program keeps it as an internal temp), so dense
+        # panels start at the batch width instead.
+        _ages = (params.do_per_pair_posterior_mean
+                 or params.do_per_pair_map)
+        self._seg_cap = max(4096, bs) if _ages else 4096
         # deferred host finish: while batch N's decode runs on device, the
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
