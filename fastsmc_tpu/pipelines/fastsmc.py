@@ -413,10 +413,16 @@ class FastSMC:
             res = {"th": ths,
                    "packed": seg.stack_rows(packs),
                    "pps": seg.stack_rows(ppss) if need_pps else None}
-            try:
-                res["packed"].copy_to_host_async()
-            except AttributeError:
-                pass
+            # start BOTH D2H copies now: a device op issued at drain time
+            # (e.g. a pps row gather) would queue behind the NEXT group's
+            # programs in the in-order stream and block the drain for a
+            # whole group's compute (~0.75 s/group at 98k ages)
+            for key in ("packed", "pps"):
+                try:
+                    if res[key] is not None:
+                        res[key].copy_to_host_async()
+                except AttributeError:
+                    pass
         self._drain_group()
         self._gpending = (res, entries, need_pps)
 
@@ -456,8 +462,14 @@ class FastSMC:
                     int(e["end"] - e["frm"])))
                 if e["need_ages"] and nb:
                     pps_rows.append((i, nb))
-            ages = self._gather_run_ages(res["pps"], pps_rows, lv_h) \
-                if pps_rows else {}
+            ages = {}
+            if pps_rows:
+                # one whole-stack download (async copy started at dispatch
+                # time); per-batch kept-run rows are sliced on host
+                pps_h = np.asarray(jax.device_get(res["pps"]))
+                for (i, nb) in pps_rows:
+                    kept = np.flatnonzero(lv_h[i][:nb] != 4)
+                    ages[i] = pps_h[i][kept][:, :self.age_threshold]
             for i, e in enumerate(entries):
                 if per_batch[i] is None:          # overflow redo
                     segs, self._seg_cap = seg.extract_segments_device(
@@ -523,39 +535,6 @@ class FastSMC:
                                  1 + (h2 & 1), phys[start], phys[end],
                                  length, score, post_est, map_est)
         self.n_segments += len(pair)
-
-    def _gather_run_ages(self, pps_dev, pps_rows, lv_h) -> dict:
-        """Per-run posterior-state sums for the kept (lv != 4) runs of
-        each batch: {batch_i: [n_kept, age_threshold] f32}, aligned with
-        ``runs_from_packed``'s keep filter (same order).
-
-        Gathers only the rows of the runs that actually occurred (one
-        dispatch + one download, ~KBs) instead of the full [B, pps_cap, K]
-        buffer."""
-        import jax
-        import jax.numpy as jnp
-        B, cap, K = pps_dev.shape
-        flat = []
-        for (i, nb) in pps_rows:
-            kept = np.flatnonzero(lv_h[i][:nb] != 4).astype(np.int32)
-            flat.append((i, i * cap + kept))
-        idx = np.concatenate([f[1] for f in flat]) if flat \
-            else np.zeros(0, np.int32)
-        n_tot = len(idx)
-        if n_tot == 0:
-            return {}
-        pad = bucket_len(n_tot, 256) - n_tot
-        idx_p = np.concatenate([idx, np.zeros(pad, np.int32)])
-        rows = jnp.take(pps_dev.reshape(B * cap, K),
-                        jnp.asarray(idx_p), axis=0)
-        rows_h = np.asarray(jax.device_get(rows))[:n_tot]
-        out = {}
-        ofs = 0
-        for i, f in flat:
-            nk = len(f)
-            out[i] = rows_h[ofs:ofs + nk, :self.age_threshold]
-            ofs += nk
-        return out
 
     def _finish_pending(self):
         if self._pending is None:
