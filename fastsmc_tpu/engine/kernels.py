@@ -728,10 +728,11 @@ class PallasDecoder:
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 10, 11))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 10, 11, 12))
     def _decode_extract_jit(self, tables, hap_bits, hap_a, hap_b,
                             t_len: int, state_threshold: int, t0, s0, s1,
-                            cap: int, pps_cap: int, prob_threshold):
+                            cap: int, pps_cap: int, age_threshold: int,
+                            prob_threshold, isp_raw):
         from . import segments as seg
         outs = BwdOutputs(posterior=True, posterior_sums=False,
                           per_pair_mean=False, per_pair_map=False,
@@ -741,22 +742,28 @@ class PallasDecoder:
         packed, pps = seg._extract_packed_impl(
             r["threshold_sums"], s0, s1, prob_threshold, cap,
             r["posterior"], pps_cap)
-        return packed, pps, r["threshold_sums"]
+        exp = tables["exp"].reshape(-1)[:self.K]
+        ages = seg.run_ages_jax(pps, exp, isp_raw, age_threshold)
+        return packed, ages, r["threshold_sums"]
 
     def decode_extract_packed(self, hap_a, hap_b, t0: int, t_len: int,
                               state_threshold: int, s0, s1, prob_threshold,
-                              cap: int, pps_cap: int):
+                              cap: int, pps_cap: int, age_threshold: int,
+                              initial_state_prob):
         """One program: decode + in-jit run extraction + per-run posterior
-        sums (the age-estimates validation flow). Fusing keeps the [T, K,
-        P] posterior a program-INTERNAL temp — as a separate dispatch it
-        is a client buffer that must be allocated at dispatch time, and a
-        flush group's worth of them (e.g. 8 x [2048, 69, 8192] f32 = 38
-        GB) cannot coexist in the 15.75 GB HBM. Temps are per-execution
-        and executions are in-order, so peak memory is ONE program's.
+        sums + per-run age estimates (the age-estimates validation flow).
+        Fusing keeps the [T, K, P] posterior a program-INTERNAL temp — as
+        a separate dispatch it is a client buffer that must be allocated
+        at dispatch time, and a flush group's worth of them (e.g. 8 x
+        [2048, 69, 8192] f32 = 38 GB) cannot coexist in the 15.75 GB
+        HBM. Temps are per-execution and executions are in-order, so
+        peak memory is ONE program's. The age estimates reduce on device
+        too: the host link is bandwidth-limited (~23 MB/s measured), so
+        downloading 2 scalars/run instead of K posterior sums is the
+        difference between ~0.5 and ~5 MB per batch.
 
-        Returns (packed row [2*cap+1] i32, pps [min(cap,pps_cap), K],
-        threshold_sums [T, P]) — same contract as
-        ``segments.extract_packed`` after a ``decode_pairs`` call."""
+        Returns (packed row [2*cap+1] i32, ages [2, min(cap, pps_cap)]
+        f32 (posterior-mean row, MAP row), threshold_sums [T, P])."""
         T, P = int(t_len), len(hap_a)
         if T * P >= 1 << 28:
             raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
@@ -770,4 +777,5 @@ class PallasDecoder:
             jnp.asarray(hap_b), int(t_len), int(state_threshold),
             jnp.asarray(t0, jnp.int32), jnp.asarray(s0, jnp.int32),
             jnp.asarray(s1, jnp.int32), int(cap), int(pps_cap),
-            jnp.asarray(prob_threshold, jnp.float32))
+            int(age_threshold), jnp.asarray(prob_threshold, jnp.float32),
+            jnp.asarray(initial_state_prob, jnp.float32))

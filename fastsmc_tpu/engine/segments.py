@@ -259,6 +259,25 @@ def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256):
     return out.reshape(pps_cap, K)
 
 
+def run_ages_jax(pps, expected_times, initial_state_prob,
+                 age_threshold: int):
+    """Per-run posterior-mean and MAP ages from [N, K] posterior-state
+    sums, in-jit (device mirrors of :func:`posterior_mean_from_pps` /
+    :func:`map_from_pps`, HMM.cpp:1087-1107). Returns [2, N] f32 (mean
+    row, MAP row) — ~70x fewer download bytes than the pps rows on a
+    bandwidth-limited host link."""
+    import jax.numpy as jnp
+
+    ppa = pps[:, :age_threshold]
+    s = ppa.sum(axis=1)
+    norm = jnp.float32(1.0) / s
+    pm = (norm[:, None] * ppa
+          * expected_times[None, :age_threshold]).sum(axis=1)
+    ratio = ppa / initial_state_prob[None, :age_threshold]
+    mp = expected_times[jnp.argmax(ratio, axis=1)]
+    return jnp.stack([pm, mp])
+
+
 def _extract_packed_impl(th, s0, s1, p, cap: int, posterior, pps_cap: int):
     import jax
     import jax.numpy as jnp

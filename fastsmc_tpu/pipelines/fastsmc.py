@@ -398,7 +398,8 @@ class FastSMC:
                         e["hap1"], e["hap2"], e["frm"], e["t_len"],
                         self.state_threshold, e["start"] - e["frm"],
                         e["end"] - e["frm"], self.prob_threshold,
-                        self._seg_cap, self._pps_cap)
+                        self._seg_cap, self._pps_cap, self.age_threshold,
+                        self.dq.initial_state_prob)
                 else:
                     r = self.decoder.decode_pairs(
                         e["hap1"], e["hap2"], e["frm"], e["t_len"], outs,
@@ -442,10 +443,10 @@ class FastSMC:
                     for i in range(packed.shape[0])]
             lv_h = [r[1] for r in rows]
             per_batch: List = []
-            pps_rows = []           # (batch_i, n_runs) needing pps rows
+            pps_rows = []           # (batch_i, n_runs) needing age rows
             for i, e in enumerate(entries):
                 idx_h, lv_i, score_h, nb = rows[i]
-                pps_cap = res["pps"].shape[1] if need_pps else 0
+                pps_cap = res["pps"].shape[2] if need_pps else 0
                 if nb > cap or (need_pps and e["need_ages"]
                                 and nb > pps_cap):
                     per_batch.append(None)        # overflow: redo below
@@ -464,12 +465,14 @@ class FastSMC:
                     pps_rows.append((i, nb))
             ages = {}
             if pps_rows:
-                # one whole-stack download (async copy started at dispatch
-                # time); per-batch kept-run rows are sliced on host
-                pps_h = np.asarray(jax.device_get(res["pps"]))
+                # ages computed ON DEVICE ([B, 2, cap]: posterior-mean +
+                # MAP per run); one whole-stack download whose async copy
+                # started at dispatch time — 2 scalars/run instead of K
+                # posterior sums on the ~23 MB/s host link
+                ages_h = np.asarray(jax.device_get(res["pps"]))
                 for (i, nb) in pps_rows:
                     kept = np.flatnonzero(lv_h[i][:nb] != 4)
-                    ages[i] = pps_h[i][kept][:, :self.age_threshold]
+                    ages[i] = ages_h[i][:, kept]
             for i, e in enumerate(entries):
                 if per_batch[i] is None:          # overflow redo
                     segs, self._seg_cap = seg.extract_segments_device(
@@ -487,7 +490,7 @@ class FastSMC:
             for i, e in enumerate(entries):
                 pb = per_batch[i]
                 if isinstance(pb, tuple):         # array fast path
-                    self._emit_runs(e, *pb[1:], pps=ages.get(i))
+                    self._emit_runs(e, *pb[1:], ages=ages.get(i))
                 else:
                     segs = [s for s in pb if s.pair < e["n"]]
                     self._emit(segs, e["hap1"], e["hap2"])
@@ -503,11 +506,12 @@ class FastSMC:
                 self._drains_since_ckpt = 0
                 self._write_progress(done_idx)
 
-    def _emit_runs(self, e, pair, a, b, score_sum, pps=None):
+    def _emit_runs(self, e, pair, a, b, score_sum, ages=None):
         """Vectorised emit from run arrays (window-relative a/b); byte-
-        identical to :meth:`_emit` + per-record writes. ``pps`` ([n_kept,
-        age_threshold], aligned with the kept-run arrays) carries the age
-        columns of the reference default profile (HMM.cpp:1179-1357)."""
+        identical to :meth:`_emit` + per-record writes. ``ages`` ([2,
+        n_kept] f32: device-computed posterior-mean and MAP rows aligned
+        with the kept-run arrays) carries the age columns of the
+        reference default profile (HMM.cpp:1179-1357)."""
         p = self.params
         keep = pair < e["n"]
         pair, a, b = pair[keep], a[keep], b[keep]
@@ -522,14 +526,11 @@ class FastSMC:
             length = np.float32(100.0) * (gp32[end] - gp32[start])
         score = score_sum.astype(np.float64) / (end - start + 1)
         post_est = map_est = None
-        if pps is not None:
-            pps = pps[keep]
+        if ages is not None:
             if p.do_per_pair_posterior_mean:
-                post_est = seg.posterior_mean_from_pps_block(
-                    pps, self.dq.expected_times)
+                post_est = ages[0][keep]
             if p.do_per_pair_map:
-                map_est = seg.map_from_pps_block(
-                    pps, self.dq.initial_state_prob, self.dq.expected_times)
+                map_est = ages[1][keep]
         phys = self.data.physical_positions
         self._writer.write_block(h1 >> 1, 1 + (h1 & 1), h2 >> 1,
                                  1 + (h2 & 1), phys[start], phys[end],

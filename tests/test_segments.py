@@ -176,3 +176,31 @@ def test_run_pps_jax_matches_host():
     for g, w in zip(got, want):
         assert (g.pair, g.start, g.end) == (w.pair, w.start, w.end)
         np.testing.assert_allclose(g.pps, w.pps, rtol=1e-4)
+
+
+def test_run_ages_jax_matches_scalar_helpers():
+    """Device-computed per-run ages (run_ages_jax) vs the scalar
+    reference helpers (HMM.cpp:1087-1107). Means match to f32 rounding
+    (the device divides in f32; the host helper divides in f64 then
+    rounds — <=1 ulp apart); MAPs are exact except at argmax ties within
+    rounding."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from fastsmc_tpu.engine import segments as seg
+
+    rng = np.random.default_rng(3)
+    K, ath, n = 69, 50, 300
+    pps = (rng.random((n, K)).astype(np.float32)
+           * rng.random(n)[:, None].astype(np.float32) * 100)
+    et = (rng.random(K).astype(np.float32) * 5000)
+    isp = (rng.random(K).astype(np.float32) + 0.01)
+    got = np.asarray(seg.run_ages_jax(pps, et, isp, ath))
+    assert got.shape == (2, n)
+    want_pm = np.array([seg.posterior_mean_from_pps(p[:ath], et)
+                        for p in pps], np.float32)
+    want_mp = np.array([seg.map_from_pps(p[:ath], isp, et)
+                        for p in pps], np.float32)
+    np.testing.assert_allclose(got[0], want_pm, rtol=2e-6)
+    np.testing.assert_array_equal(got[1], want_mp)
