@@ -178,8 +178,7 @@ def bench_sequence(on_tpu):
             "window_sites": T, "panel_sites": int(data.sites),
             "full_panel_equiv_decodes_per_sec": round(
                 rate * T / data.sites, 1),
-            "note": "sequence mode (2 half-steps/site), fast profile, "
-                    "8192-site window of the 97k-site sequence panel"}
+            "note": "sequence mode, fast profile, 8192-site windows"}
 
 
 def bench_pipeline(on_tpu):
@@ -250,22 +249,15 @@ def bench_pipeline(on_tpu):
 
     out = one(ages=False)
     out["ages_on"] = one(ages=True)
-    out["ages_on"]["note"] = ("reference DEFAULT output profile: 13-column "
-                              "records with per-segment posterior-mean + "
-                              "MAP ages (DecodingParams.cpp:56-63)")
-    out["note"] = ("16,384-hap founder-mosaic panel, 6,400 sites, fast "
-                   "profile, batch 8192, arrival-order candidates with "
-                   "the overlapped chunked scan; steady-state run "
-                   "(cold_wall_s = with compiles)")
+    out["ages_on"]["note"] = "reference DEFAULT 13-col output (ages)"
+    out["note"] = ("16384-hap panel, 6400 sites, fast profile, batch 8192, "
+                   "steady-state (cold_wall_s = with compiles)")
     # at-scale evidence (98k haps, exact profile, ages on) lives in
-    # BIOBANK_PROBE.json — attach the round-4 rows when present
-    probe = os.path.join(ROOT, "BIOBANK_PROBE.json")
-    if os.path.exists(probe):
-        with open(probe) as fh:
-            pj = json.load(fh)
-        biobank = {k: v for k, v in pj.items() if "_r4_" in k}
-        if biobank:
-            out["biobank_e2e"] = biobank
+    # BIOBANK_PROBE.json — referenced by name, NOT embedded: the driver
+    # parses the LAST stdout line as JSON from a bounded tail capture, so
+    # the headline line must stay small (round 4's embedded rows made it
+    # ~10 KB and the tail cut it mid-object -> "parsed": null)
+    out["biobank_e2e_file"] = "BIOBANK_PROBE.json"
     return out
 
 
@@ -279,37 +271,39 @@ def main():
     sequence = bench_sequence(on_tpu)
     pipeline = bench_pipeline(on_tpu)
 
+    # the driver parses the LAST stdout line from a 2000-char tail capture:
+    # keep this line lean (longform notes live in BASELINE.md/ROOFLINE.md)
     out = {
         "metric": "pair_decodes_per_sec_per_chip",
         "value": round(decode["fast"], 1),
-        "unit": "haplotype-pair full-sequence decodes/s (6760 sites, "
-                "69 states, fused posterior sums; fast profile: bf16 alpha "
-                "+ single-pass bf16 matmuls + block norm — approximate "
-                "profile, F1-level contract: bp-F1 0.9976 vs exact, zero "
-                "byte-identical records; see 'exact' for the parity "
-                "profile)",
+        "unit": "hap-pair full-seq decodes/s (6760 sites, 69 states, fast "
+                "profile: bf16, bp-F1 0.9976 vs exact; 'exact' = parity "
+                "profile, reference NO_SSE numerics)",
         "vs_baseline": round(decode["fast"] / BASELINE_PAIRS_PER_SEC, 2),
         "profile": "fast",
         "batch_pairs": decode.get("fast_batch"),
         "exact": {
             "value": round(decode["exact"], 1),
-            "batch_pairs": decode.get("exact_batch"),
             "vs_baseline": round(decode["exact"] / BASELINE_PAIRS_PER_SEC,
                                  2),
-            "note": "reference NO_SSE numerics (f32 + HIGHEST matmuls)",
         },
         "turbo": {
             "value": round(decode["turbo"], 1),
-            "batch_pairs": decode.get("turbo_batch"),
             "vs_baseline": round(decode["turbo"] / BASELINE_PAIRS_PER_SEC,
                                  2),
-            "note": "bf16 operator storage; same numeric path as fast "
-                    "(PROFILE_ACCURACY.json, ROOFLINE.md)",
         },
         "sequence": sequence,
         "pipeline": pipeline,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:      # belt-and-braces: never exceed the tail
+        for key in ("pipeline", "sequence"):
+            out[key] = {k: v for k, v in out[key].items()
+                        if not isinstance(v, str)}
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

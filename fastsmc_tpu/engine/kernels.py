@@ -728,20 +728,22 @@ class PallasDecoder:
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 10, 11, 12))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 10, 11, 12, 13))
     def _decode_extract_jit(self, tables, hap_bits, hap_a, hap_b,
                             t_len: int, state_threshold: int, t0, s0, s1,
                             cap: int, pps_cap: int, age_threshold: int,
-                            prob_threshold, isp_raw):
+                            need_ages: bool, prob_threshold, isp_raw):
         from . import segments as seg
-        outs = BwdOutputs(posterior=True, posterior_sums=False,
+        outs = BwdOutputs(posterior=need_ages, posterior_sums=False,
                           per_pair_mean=False, per_pair_map=False,
                           threshold_sums=True)
         r = self._decode_body(tables, hap_bits, hap_a, hap_b, t0, t_len,
                               outs, state_threshold)
         packed, pps = seg._extract_packed_impl(
             r["threshold_sums"], s0, s1, prob_threshold, cap,
-            r["posterior"], pps_cap)
+            r["posterior"] if need_ages else None, pps_cap)
+        if not need_ages:
+            return packed, None, r["threshold_sums"]
         exp = tables["exp"].reshape(-1)[:self.K]
         ages = seg.run_ages_jax(pps, exp, isp_raw, age_threshold)
         return packed, ages, r["threshold_sums"]
@@ -749,10 +751,10 @@ class PallasDecoder:
     def decode_extract_packed(self, hap_a, hap_b, t0: int, t_len: int,
                               state_threshold: int, s0, s1, prob_threshold,
                               cap: int, pps_cap: int, age_threshold: int,
-                              initial_state_prob):
-        """One program: decode + in-jit run extraction + per-run posterior
-        sums + per-run age estimates (the age-estimates validation flow).
-        Fusing keeps the [T, K, P] posterior a program-INTERNAL temp — as
+                              initial_state_prob, need_ages: bool = True):
+        """One program: decode + in-jit run extraction (+ per-run posterior
+        sums + per-run age estimates when ``need_ages``). Fusing keeps the
+        [T, K, P] posterior a program-INTERNAL temp — as
         a separate dispatch it is a client buffer that must be allocated
         at dispatch time, and a flush group's worth of them (e.g. 8 x
         [2048, 69, 8192] f32 = 38 GB) cannot coexist in the 15.75 GB
@@ -763,7 +765,8 @@ class PallasDecoder:
         difference between ~0.5 and ~5 MB per batch.
 
         Returns (packed row [2*cap+1] i32, ages [2, min(cap, pps_cap)]
-        f32 (posterior-mean row, MAP row), threshold_sums [T, P])."""
+        f32 (posterior-mean row, MAP row) or None when not need_ages,
+        threshold_sums [T, P])."""
         T, P = int(t_len), len(hap_a)
         if T * P >= 1 << 28:
             raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
@@ -777,5 +780,6 @@ class PallasDecoder:
             jnp.asarray(hap_b), int(t_len), int(state_threshold),
             jnp.asarray(t0, jnp.int32), jnp.asarray(s0, jnp.int32),
             jnp.asarray(s1, jnp.int32), int(cap), int(pps_cap),
-            int(age_threshold), jnp.asarray(prob_threshold, jnp.float32),
+            int(age_threshold), bool(need_ages),
+            jnp.asarray(prob_threshold, jnp.float32),
             jnp.asarray(initial_state_prob, jnp.float32))

@@ -217,18 +217,50 @@ def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
                           precision=jax.lax.Precision.HIGHEST)
 
     sh = (cap // score_chunk, score_chunk)
-    score = jax.lax.map(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
-                                   b.reshape(sh))).reshape(cap)
+    score = _bounded_chunk_loop(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
+                                           b.reshape(sh)),
+                                (sh[0], score_chunk), n,
+                                score_chunk).reshape(cap)
     return idx, lv, n, score, pair, a, b
 
 
-def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256):
+def _bounded_chunk_loop(chunk_fn, args, out_shape, n, chunk: int):
+    """Run ``chunk_fn`` over row-chunks of ``args`` but only for the first
+    ``ceil(n / chunk)`` chunks (a ``lax.while_loop`` with a traced bound);
+    the remaining output rows are zeros.  The caps grow sticky to the
+    worst batch in a run (e.g. 8192) while the average batch has ~1-2k
+    runs, so a full ``lax.map`` over every cap row wastes most of the
+    einsum/gather work — measured 43.4 s of a 70.1 s wall in the 98k
+    ages-on `segments` phase (BIOBANK_PROBE.json e2e_98304_r4_fast_ages).
+    Rows < n are computed by the same chunk_fn calls in the same order as
+    the old full map, so used outputs are bitwise identical."""
+    import jax
+    import jax.numpy as jnp
+
+    needed = (n + chunk - 1) // chunk
+
+    def body(carry):
+        i, out = carry
+        res = chunk_fn(tuple(jax.lax.dynamic_index_in_dim(x, i, 0,
+                                                          keepdims=False)
+                             for x in args))
+        return i + 1, jax.lax.dynamic_update_index_in_dim(out, res, i, 0)
+
+    _, out = jax.lax.while_loop(
+        lambda c: c[0] < needed, body,
+        (jnp.int32(0), jnp.zeros(out_shape, jnp.float32)))
+    return out
+
+
+def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256, n=None):
     """Per-run per-state posterior sums [pps_cap, K], in-jit (mirrors
     ``run_pps``). Only the first ``pps_cap`` runs are covered — overflow
     is detected by the caller via the run count. The run arrays may be
     shorter or longer than ``pps_cap`` (they come from a separately-sized
     extraction cap): shorter inputs are padded with empty runs (b < a,
-    all-zero rows), longer ones sliced."""
+    all-zero rows), longer ones sliced. With ``n`` (traced run count)
+    only the chunks holding the first n runs are computed (the rest are
+    zeros, exactly what the empty-run rows produce anyway)."""
     import jax
     import jax.numpy as jnp
 
@@ -254,8 +286,12 @@ def run_pps_jax(post, pair, a, b, pps_cap: int, chunk: int = 256):
                           precision=jax.lax.Precision.HIGHEST)
 
     sh = (pps_cap // chunk, chunk)
-    out = jax.lax.map(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
-                                 br.reshape(sh)))
+    args = (pr.reshape(sh), ar.reshape(sh), br.reshape(sh))
+    if n is None:
+        out = jax.lax.map(chunk_fn, args)
+    else:
+        out = _bounded_chunk_loop(chunk_fn, args, (sh[0], chunk, K),
+                                  jnp.minimum(n, pps_cap), chunk)
     return out.reshape(pps_cap, K)
 
 
@@ -293,7 +329,7 @@ def _extract_packed_impl(th, s0, s1, p, cap: int, posterior, pps_cap: int):
         n[None]])
     if posterior is None:
         return packed, None
-    return packed, run_pps_jax(posterior, pair, a, b, pps_cap)
+    return packed, run_pps_jax(posterior, pair, a, b, pps_cap, n=n)
 
 
 _packed_jit = None
@@ -363,6 +399,33 @@ def unpack_extract_rows(packed_row: np.ndarray, cap: int):
     lv = (enc >> 28).astype(np.uint8)
     score = packed_row[cap:2 * cap].view(np.float32)
     return idx, lv, score, int(packed_row[2 * cap])
+
+
+def merge_packed_shards(mat: np.ndarray, T: int, P_local: int):
+    """Merge the per-shard packed rows of a mesh-sharded fused extraction
+    (``ShardedDecoder.decode_extract_packed``): ``mat`` [S, 2*cap+1] i32.
+
+    Shard ``s`` holds local pair indices over its slice of the pair axis;
+    offsetting its flat boundary indices by ``s * P_local * T`` and
+    concatenating in shard order yields exactly the meshless extraction's
+    pair-major ascending boundary stream (shards partition the pair axis
+    contiguously and in order). Returns (idx int64 [n], lv [n], score [n],
+    ns) with ``ns`` the RAW per-shard boundary counts — any ``ns[s] >
+    cap`` means that shard's row was truncated and the batch must be
+    redone at a larger cap."""
+    S = mat.shape[0]
+    cap = (mat.shape[1] - 1) // 2
+    parts = []
+    ns = []
+    for s in range(S):
+        idx, lv, score, n = unpack_extract_rows(mat[s], cap)
+        ns.append(n)
+        k = min(n, cap)
+        parts.append((idx[:k].astype(np.int64) + s * P_local * T,
+                      lv[:k], score[:k]))
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]), ns)
 
 
 def runs_from_packed(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,

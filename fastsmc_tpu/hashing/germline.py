@@ -68,6 +68,8 @@ class HashingScan:
         self.callback = callback
         self.windows = data.windows
         self.tot_pairs = 0
+        # producer-thread scan CPU seconds (host roofline accounting)
+        self.scan_thread_s = 0.0
 
         # raw (pre-folding) alleles for this job's haps: folded ^ flipped
         raw = data.hap_bits ^ data.site_was_flipped[None, :].astype(np.uint8)
@@ -282,14 +284,19 @@ class HashingScan:
             return False
 
         def producer():
+            import time as _time
             try:
                 for w0 in range(0, tw, cw):
+                    t0 = _time.perf_counter()
                     sc.scan_words(w0, min(w0 + cw, tw))
                     chunk = sc.take()
+                    self.scan_thread_s += _time.perf_counter() - t0
                     if len(chunk[0]) and not _put(chunk):
                         return
+                t0 = _time.perf_counter()
                 sc.finish()
                 chunk = sc.take()
+                self.scan_thread_s += _time.perf_counter() - t0
                 if len(chunk[0]):
                     if not _put(chunk):
                         return

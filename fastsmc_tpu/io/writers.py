@@ -56,6 +56,10 @@ class IbdTextWriter:
         self._id_blob = None          # lazy native-formatter id table
         self._id_off = None
         self._text_dirty = False      # text-wrapper bytes pending flush
+        # per-resource accounting for the host roofline (ROOFLINE.md):
+        # formatter CPU vs gzip-deflate CPU inside write_block
+        self.fmt_s = 0.0
+        self.deflate_s = 0.0
 
     def write(self, r: IbdRecord) -> None:
         parts = [self.fam[r.ind1], self.iid[r.ind1], str(r.hap1),
@@ -81,9 +85,11 @@ class IbdTextWriter:
         ``length_cm`` / ``post_est`` / ``map_est`` may be None (column
         omitted) or float32 arrays; ``score`` is float64 (matching the
         per-record float division)."""
+        import time as _time
         n = len(ind1)
         if n == 0:
             return
+        _t0 = _time.perf_counter()
         from ..native import format_ibd
         if self._id_blob is None:
             off = [0]
@@ -97,12 +103,15 @@ class IbdTextWriter:
                          hap2, pos_start, pos_end, length_cm, score,
                          str(self.chr), post_est, map_est)
         if buf is not None:
+            self.fmt_s += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             if self._text_dirty:
                 # order text-wrapper bytes before ours; skipping the flush
                 # when clean avoids a Z_SYNC_FLUSH per flushed batch
                 self._f.flush()
                 self._text_dirty = False
             self._f.buffer.write(buf)
+            self.deflate_s += _time.perf_counter() - _t0
             self.n_written += n
             return
         fam, iid, ch = self.fam, self.iid, str(self.chr)

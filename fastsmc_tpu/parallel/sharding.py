@@ -103,6 +103,22 @@ class ShardedDecoder:
     def exp_times(self, value):
         self.dec.exp_times = value
 
+    @property
+    def alpha_dtype(self):
+        """Forward the inner engine's alpha storage dtype (the pipeline's
+        HBM decode-memory guard reads it)."""
+        import numpy as _np
+        return getattr(self.dec, "alpha_dtype", _np.dtype(_np.float32))
+
+    # the pipeline's production grouped flow (decode+extract+ages fused
+    # per batch) runs per shard under shard_map; packed rows come back
+    # [n_devices, 2*cap+1] and are merged on host at drain time
+    supports_fused_extract = True
+
+    @property
+    def n_extract_shards(self) -> int:
+        return self.n_devices
+
     # ------------------------------------------------------------------
     def _emulated_outputs(self, post, hap_bits, ha, hb, t0: int, t_len: int,
                           outs: BwdOutputs, state_threshold: int) -> dict:
@@ -201,6 +217,97 @@ class ShardedDecoder:
                                     jnp.asarray(hap_a), jnp.asarray(hap_b),
                                     int(t0), int(t_len), outputs,
                                     int(state_threshold))
+
+    # ------------------------------------------------------------------
+    # fused decode + in-jit extraction (+ device age estimates): the
+    # production validation flow, per shard under shard_map. Matches
+    # PallasDecoder.decode_extract_packed except the packed row and age
+    # rows come back with a leading shard axis ([S, 2*cap+1] /
+    # [S, 2, capp]); segments.merge_packed_shards reassembles the global
+    # pair-major boundary stream (shards partition the pair axis in
+    # order, so concatenation preserves the reference emission order).
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
+    def _dep_jit(self, tables, hap_bits, hap_a, hap_b, t_len: int,
+                 state_threshold: int, cap: int, pps_cap: int,
+                 age_threshold: int, need_ages: bool, t0_static: int,
+                 scalars=None):
+        from ..engine import segments as seg
+        axis = self.axis
+        outs = BwdOutputs(posterior=need_ages, posterior_sums=False,
+                          threshold_sums=True)
+
+        def local(tabs, bits, ha, hb, sc):
+            t0, s0, s1, pthr, isp = sc
+            if self._use_pallas:
+                r = self.dec._decode_body(tabs, bits, ha, hb, t0, t_len,
+                                          outs, state_threshold)
+                exp = tabs["exp"].reshape(-1)[:self.K]
+            else:
+                post = self.dec._decode_jit(bits, ha, hb, t0_static, t_len)
+                r = self._emulated_outputs(post, bits, ha, hb, t0_static,
+                                           t_len, outs, state_threshold)
+                exp = self.dec.exp_times.reshape(-1)[:self.K]
+            packed, pps = seg._extract_packed_impl(
+                r["threshold_sums"], s0, s1, pthr, cap,
+                r["posterior"] if need_ages else None, pps_cap)
+            if not need_ages:
+                return packed[None], r["threshold_sums"]
+            ages = seg.run_ages_jax(pps, exp, isp, age_threshold)
+            return packed[None], ages[None], r["threshold_sums"]
+
+        out_specs = (P(axis, None), P(axis, None, None), P(None, axis)) \
+            if need_ages else (P(axis, None), P(None, axis))
+        in_specs = (P(), P(), P(axis), P(axis), P())
+        try:
+            f = shard_map(local, mesh=self.mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            f = shard_map(local, mesh=self.mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+        return f(tables, hap_bits, hap_a, hap_b, scalars)
+
+    def decode_extract_packed(self, hap_a, hap_b, t0: int, t_len: int,
+                              state_threshold: int, s0, s1, prob_threshold,
+                              cap: int, pps_cap: int, age_threshold: int,
+                              initial_state_prob, need_ages: bool = True):
+        """Sharded mirror of ``PallasDecoder.decode_extract_packed``:
+        returns (packed [S, 2*cap+1] i32, ages [S, 2, min(cap, pps_cap)]
+        f32 or None, threshold_sums [T, P] pair-sharded). Each shard
+        extracts its own pairs with the full ``cap`` (run counts are not
+        balanced across shards), so host-side cap-overflow checks apply
+        per shard."""
+        P_global = int(np.shape(hap_a)[0])
+        if P_global % self.n_devices != 0:
+            raise ValueError(
+                f"global pair batch {P_global} is not divisible by mesh "
+                f"size {self.n_devices}")
+        T, P_local = int(t_len), P_global // self.n_devices
+        if T * P_local >= 1 << 28:
+            raise ValueError(f"T*P_local = {T * P_local} >= 2**28 "
+                             "overflows the packed boundary encoding")
+        if cap <= 0 or cap % 256 or pps_cap <= 0 or pps_cap % 256:
+            raise ValueError(f"cap={cap}/pps_cap={pps_cap} must be "
+                             "positive multiples of 256")
+        pps_cap = min(pps_cap, cap)
+        tables = self.dec._tables() if self._use_pallas else {}
+        import jax.numpy as jnp
+        scalars = (jnp.asarray(t0, jnp.int32), jnp.asarray(s0, jnp.int32),
+                   jnp.asarray(s1, jnp.int32),
+                   jnp.asarray(prob_threshold, jnp.float32),
+                   jnp.asarray(initial_state_prob, jnp.float32))
+        res = self._dep_jit(tables, self.dec.hap_bits,
+                            jnp.asarray(hap_a), jnp.asarray(hap_b),
+                            int(t_len), int(state_threshold), int(cap),
+                            int(pps_cap), int(age_threshold),
+                            bool(need_ages),
+                            0 if self._use_pallas else int(t0),
+                            scalars=scalars)
+        if need_ages:
+            return res
+        packed, th = res
+        return packed, None, th
 
     # ------------------------------------------------------------------
     # convenience wrappers kept for the library surface / tests

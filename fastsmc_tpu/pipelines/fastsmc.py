@@ -166,22 +166,27 @@ class FastSMC:
         # panels start at the batch width instead.
         _ages = (params.do_per_pair_posterior_mean
                  or params.do_per_pair_map)
-        self._seg_cap = max(4096, bs) if _ages else 4096
+        # caps must be positive multiples of 256 (the fused extraction's
+        # score-chunk reshape), and batch_size is only validated to % 8
+        self._seg_cap = bucket_len(max(4096, bs), 256) if _ages else 4096
         # deferred host finish: while batch N's decode runs on device, the
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
         self._pending = None
-        # fused grouped path (extract_packed + stack_rows): stage batches,
-        # a whole group in one device call, drain the previous group's
-        # packed run arrays while this one computes
-        self._fused = (mesh is None
-                       and getattr(self.decoder, "supports_fused_extract",
-                                   False))
+        # fused grouped path (decode_extract_packed + stack_rows): stage
+        # batches, a whole group in one device call, drain the previous
+        # group's packed run arrays while this one computes. ShardedDecoder
+        # supports it too (per-shard packed rows merged at drain time), so
+        # the mesh path runs the same production flow.
+        self._fused = getattr(self.decoder, "supports_fused_extract", False)
         self.flush_group = flush_group if flush_group \
             else (8 if self._fused else 1)
         if not self._fused and flush_group > 1:
             raise ValueError("flush_group > 1 requires a fused decoder "
-                             "(PallasDecoder without a mesh)")
+                             "(PallasDecoder or ShardedDecoder)")
+        # minimum pad bucket: extraction caps need multiples of 256 per
+        # extraction shard, and the pair axis must stay mesh-divisible
+        self._pad_floor = 256 * getattr(self.decoder, "n_extract_shards", 1)
         self._group: List[dict] = []
         self._gpending = None
         self._pps_cap = 8192
@@ -204,9 +209,13 @@ class FastSMC:
         self._sort_buf: List[Tuple[np.ndarray, ...]] = []
         self._sort_n = 0
         # window-waste accounting (VERDICT r2: measure batch-union waste)
+        # + host/link roofline terms (VERDICT r4 #4): D2H bytes, device
+        # wait inside the drain (device_get = queue wait + transfer on the
+        # ~23 MB/s link) vs pure host CPU in the drain
         self.stats = {"decoded_site_pairs": 0, "union_site_pairs": 0,
                       "cand_site_pairs": 0, "flushes": 0,
-                      "overflow_redos": 0}
+                      "overflow_redos": 0, "d2h_bytes": 0,
+                      "drain_wait_s": 0.0, "drain_host_s": 0.0}
 
     # ------------------------------------------------------------------
     def _open_writer(self, append: bool = False):
@@ -322,8 +331,16 @@ class FastSMC:
         # 19.3 GB and cannot compile into the 15.75 GB HBM. Split the
         # pair axis (candidates stay in stream order, so each half's own
         # union usually also shrinks) until the program fits the budget.
+        # underfull batches (e.g. a lone near-chromosome-wide candidate in
+        # the final flush) shrink their pad bucket first: a single wide
+        # candidate must not dispatch at t_len 8192 x P 8192 with the ages
+        # posterior (~19 GB — the HBM compile crash the guard prevents);
+        # per-pair outputs are independent of the pad width, so this only
+        # changes program shapes, never results
+        while pad_to > self._pad_floor and n <= pad_to // 2:
+            pad_to //= 2
         budget = self._post_budget if need_ages else self._alpha_budget
-        if (pad_to > 256 and n > 1 and t_len * pad_to > budget):
+        if (pad_to > self._pad_floor and n > 1 and t_len * pad_to > budget):
             k = (n + 1) // 2
             self._flush_entry(h1[:k], h2[:k], fr[:k], to[:k], pad_to // 2)
             self._flush_entry(h1[k:], h2[k:], fr[k:], to[k:], pad_to // 2)
@@ -376,41 +393,30 @@ class FastSMC:
         need_pps = any(e["need_ages"] for e in entries)
         self.stats["decoded_site_pairs"] += \
             sum(e["t_len"] * e["P"] for e in entries)
-        outs = self._bwd_outputs_cls(
-            posterior=False, posterior_sums=False, threshold_sums=True)
 
-        # per-batch decode dispatches (cheap and FASTER than fusing the
-        # group into one program: MULTI_VARIANT_PROBE.json measured
-        # ~26 ms/batch for any one-jit grouping vs 7.4 ms dispatched
-        # separately) + per-batch in-jit extraction; then one stacking
+        # per-batch fused decode+extract(+ages) dispatches (cheap and
+        # FASTER than fusing the group into one program:
+        # MULTI_VARIANT_PROBE.json measured ~26 ms/batch for any one-jit
+        # grouping vs 7.4 ms dispatched separately); then one stacking
         # dispatch and an async D2H so the drain doesn't wait behind the
         # next group's execution in the in-order device queue. With ages
-        # on, decode+extract fuse into ONE program per batch so the
-        # [T, K, P] posterior is a program-internal temp (a flush group
-        # of separate posterior buffers would not fit HBM).
+        # on the [T, K, P] posterior is a program-internal temp (a flush
+        # group of separate posterior buffers would not fit HBM). The
+        # same call serves PallasDecoder (flat packed rows) and
+        # ShardedDecoder (per-shard rows merged at drain time).
         ths, packs, ppss = [], [], []
-        fuse_ages = need_pps and hasattr(self.decoder,
-                                         "decode_extract_packed")
         with self.timer.phase("decode"):
             for e in entries:
-                if fuse_ages:
-                    packed, pps, th = self.decoder.decode_extract_packed(
-                        e["hap1"], e["hap2"], e["frm"], e["t_len"],
-                        self.state_threshold, e["start"] - e["frm"],
-                        e["end"] - e["frm"], self.prob_threshold,
-                        self._seg_cap, self._pps_cap, self.age_threshold,
-                        self.dq.initial_state_prob)
-                else:
-                    r = self.decoder.decode_pairs(
-                        e["hap1"], e["hap2"], e["frm"], e["t_len"], outs,
-                        self.state_threshold)
-                    th = r["threshold_sums"]
-                    packed, pps = seg.extract_packed(
-                        th, e["start"] - e["frm"], e["end"] - e["frm"],
-                        self.prob_threshold, self._seg_cap, None, 0)
+                packed, ages_rows, th = self.decoder.decode_extract_packed(
+                    e["hap1"], e["hap2"], e["frm"], e["t_len"],
+                    self.state_threshold, e["start"] - e["frm"],
+                    e["end"] - e["frm"], self.prob_threshold,
+                    self._seg_cap, self._pps_cap, self.age_threshold,
+                    self.dq.initial_state_prob,
+                    need_ages=e["need_ages"])
                 ths.append(th)
                 packs.append(packed)
-                ppss.append(pps)
+                ppss.append(ages_rows)
             res = {"th": ths,
                    "packed": seg.stack_rows(packs),
                    "pps": seg.stack_rows(ppss) if need_pps else None}
@@ -427,6 +433,34 @@ class FastSMC:
         self._drain_group()
         self._gpending = (res, entries, need_pps)
 
+    @staticmethod
+    def _unpack_entry(packed_i: np.ndarray, t_len: int, P: int):
+        """Host unpack of one entry's packed extraction: flat row
+        (PallasDecoder) or per-shard rows (ShardedDecoder). Returns
+        (idx, lv, score, ns) sliced to the valid boundary count; ``ns``
+        holds the RAW per-shard counts (> cap means truncated)."""
+        if packed_i.ndim == 2:                 # sharded [S, 2*cap+1]
+            return seg.merge_packed_shards(packed_i, t_len,
+                                           P // packed_i.shape[0])
+        cap = (len(packed_i) - 1) // 2
+        idx, lv, score, nb = seg.unpack_extract_rows(packed_i, cap)
+        k = min(nb, cap)
+        return idx[:k], lv[:k], score[:k], [nb]
+
+    @staticmethod
+    def _merge_entry_ages(ages_i: np.ndarray, ns, kept: np.ndarray):
+        """Device-computed age rows for one entry ([2, capp] flat or
+        [S, 2, capp] sharded) -> [2, n_kept] aligned with the kept-run
+        arrays (same order as the merged boundary stream)."""
+        capp = ages_i.shape[-1]
+        if ages_i.ndim == 3:
+            am = np.concatenate(
+                [ages_i[s][:, :min(ns[s], capp)]
+                 for s in range(ages_i.shape[0])], axis=1)
+        else:
+            am = ages_i[:, :min(ns[0], capp)]
+        return am[:, kept]
+
     def _drain_group(self):
         if self._gpending is None:
             return
@@ -434,19 +468,24 @@ class FastSMC:
         self._gpending = None
         import jax
         with self.timer.phase("segments"):
+            t_seg0 = time.perf_counter()
+            wait0 = self.stats["drain_wait_s"]
             # ONE download for the whole group: idx/lv/score/n are packed
             # into a single i32 matrix in-jit (each device_get leaf costs
             # a ~40+ ms round-trip on the remote link)
             packed = np.asarray(jax.device_get(res["packed"]))
-            cap = (packed.shape[1] - 1) // 2
-            rows = [seg.unpack_extract_rows(packed[i], cap)
-                    for i in range(packed.shape[0])]
-            lv_h = [r[1] for r in rows]
+            self.stats["d2h_bytes"] += packed.nbytes
+            self.stats["drain_wait_s"] += time.perf_counter() - t_seg0
+            cap = (packed.shape[-1] - 1) // 2
+            pps_cap = res["pps"].shape[-1] if need_pps else 0
+            rows = []
             per_batch: List = []
-            pps_rows = []           # (batch_i, n_runs) needing age rows
+            pps_rows = []           # batch indices needing age rows
             for i, e in enumerate(entries):
-                idx_h, lv_i, score_h, nb = rows[i]
-                pps_cap = res["pps"].shape[2] if need_pps else 0
+                idx_h, lv_i, score_h, ns = self._unpack_entry(
+                    packed[i], e["t_len"], e["P"])
+                rows.append((idx_h, lv_i, score_h, ns))
+                nb = max(ns)
                 if nb > cap or (need_pps and e["need_ages"]
                                 and nb > pps_cap):
                     per_batch.append(None)        # overflow: redo below
@@ -459,32 +498,33 @@ class FastSMC:
                 # array-only path: no per-run Python objects (both writers
                 # have write_block; ages attach as vectorised columns)
                 per_batch.append(("runs",) + seg.runs_from_packed(
-                    idx_h, lv_i, score_h, nb, e["t_len"],
+                    idx_h, lv_i, score_h, len(idx_h), e["t_len"],
                     int(e["end"] - e["frm"])))
                 if e["need_ages"] and nb:
-                    pps_rows.append((i, nb))
+                    pps_rows.append(i)
             ages = {}
             if pps_rows:
                 # ages computed ON DEVICE ([B, 2, cap]: posterior-mean +
                 # MAP per run); one whole-stack download whose async copy
                 # started at dispatch time — 2 scalars/run instead of K
                 # posterior sums on the ~23 MB/s host link
+                t_w = time.perf_counter()
                 ages_h = np.asarray(jax.device_get(res["pps"]))
-                for (i, nb) in pps_rows:
-                    kept = np.flatnonzero(lv_h[i][:nb] != 4)
-                    ages[i] = ages_h[i][:, kept]
+                self.stats["d2h_bytes"] += ages_h.nbytes
+                self.stats["drain_wait_s"] += time.perf_counter() - t_w
+                for i in pps_rows:
+                    _, lv_i, _, ns = rows[i]
+                    kept = np.flatnonzero(lv_i != 4)
+                    ages[i] = self._merge_entry_ages(ages_h[i], ns, kept)
             for i, e in enumerate(entries):
                 if per_batch[i] is None:          # overflow redo
-                    segs, self._seg_cap = seg.extract_segments_device(
-                        res["th"][i], None, self.prob_threshold,
-                        int(e["start"] - e["frm"]),
-                        int(e["end"] - e["frm"]), int(e["frm"]),
-                        self.age_threshold, cap=self._seg_cap)
-                    if e["need_ages"] and segs:
-                        post, _ = self._decode(
-                            e["hap1"], e["hap2"], e["frm"], e["t_len"], True)
-                        self._fill_pps(segs, post, e["frm"])
-                    per_batch[i] = segs
+                    per_batch[i], redo_ages = self._redo_entry(
+                        e, res["th"][i])
+                    if redo_ages is not None:
+                        ages[i] = redo_ages
+            self.stats["drain_host_s"] += (
+                time.perf_counter() - t_seg0
+                - (self.stats["drain_wait_s"] - wait0))
         done_idx = None
         with self.timer.phase("outputPerPair"):
             for i, e in enumerate(entries):
@@ -505,6 +545,58 @@ class FastSMC:
             if self._drains_since_ckpt >= 4:
                 self._drains_since_ckpt = 0
                 self._write_progress(done_idx)
+
+    def _redo_entry(self, e, th):
+        """Overflow redo at the (already grown) caps, through the SAME
+        numeric path as a normal batch: with ages the batch re-runs the
+        fused decode+extract+ages program (the posterior was a program-
+        internal temp, so a re-decode is unavoidable), otherwise the saved
+        threshold sums re-extract in-jit. Returns (("runs", pair, a, b,
+        score), ages [2, n_kept] or None) exactly like the normal drain,
+        so redone batches are byte-identical to what a big-enough initial
+        cap would have produced (run-to-run reproducible output bytes)."""
+        import jax
+        s0 = int(e["start"] - e["frm"])
+        s1 = int(e["end"] - e["frm"])
+        while True:
+            if e["need_ages"]:
+                packed_d, ages_d, _ = self.decoder.decode_extract_packed(
+                    e["hap1"], e["hap2"], e["frm"], e["t_len"],
+                    self.state_threshold, s0, s1, self.prob_threshold,
+                    self._seg_cap, self._pps_cap, self.age_threshold,
+                    self.dq.initial_state_prob, need_ages=True)
+            else:
+                # re-extract only: the saved threshold sums already hold
+                # the decode result
+                packed_d, _ = seg.extract_packed(
+                    th, s0, s1, self.prob_threshold, self._seg_cap, None, 0)
+                ages_d = None
+            t_w = time.perf_counter()
+            packed = np.asarray(jax.device_get(packed_d))
+            self.stats["d2h_bytes"] += packed.nbytes
+            self.stats["drain_wait_s"] += time.perf_counter() - t_w
+            cap = (packed.shape[-1] - 1) // 2
+            idx_h, lv_h, score_h, ns = self._unpack_entry(
+                packed, e["t_len"], e["P"])
+            nb = max(ns)
+            capp = ages_d.shape[-1] if ages_d is not None else nb
+            if nb <= cap and nb <= capp:
+                break
+            while self._seg_cap < nb:
+                self._seg_cap *= 2
+            while ages_d is not None and self._pps_cap < nb:
+                self._pps_cap *= 2
+        runs = ("runs",) + seg.runs_from_packed(idx_h, lv_h, score_h,
+                                                len(idx_h), e["t_len"], s1)
+        redo_ages = None
+        if ages_d is not None:
+            t_w = time.perf_counter()
+            ages_h = np.asarray(jax.device_get(ages_d))
+            self.stats["d2h_bytes"] += ages_h.nbytes
+            self.stats["drain_wait_s"] += time.perf_counter() - t_w
+            kept = np.flatnonzero(lv_h != 4)
+            redo_ages = self._merge_entry_ages(ages_h, ns, kept)
+        return runs, redo_ages
 
     def _emit_runs(self, e, pair, a, b, score_sum, ages=None):
         """Vectorised emit from run arrays (window-relative a/b); byte-
@@ -664,6 +756,22 @@ class FastSMC:
                 post_est=post_est, map_est=map_est))
             self.n_segments += 1
 
+    def roofline(self) -> dict:
+        """Per-resource accounting of a finished run (VERDICT r4 #4): the
+        host/link terms that bound the wall — D2H bytes over the ~23 MB/s
+        link, drain device-wait vs host CPU, writer formatter vs gzip
+        deflate CPU, and producer-thread scan CPU."""
+        st = self.stats
+        w = self._writer
+        return {
+            "d2h_mb": round(st["d2h_bytes"] / 1e6, 1),
+            "drain_wait_s": round(st["drain_wait_s"], 2),
+            "drain_host_s": round(st["drain_host_s"], 2),
+            "writer_fmt_s": round(getattr(w, "fmt_s", 0.0), 2),
+            "writer_deflate_s": round(getattr(w, "deflate_s", 0.0), 2),
+            "scan_thread_s": round(getattr(self, "_scan_thread_s", 0.0), 2),
+        }
+
     # ------------------------------------------------------------------
     # no-hashing mode: decode every pair in the job range
     # ------------------------------------------------------------------
@@ -744,9 +852,12 @@ class FastSMC:
                     scan = HashingScan(self.params, self.data, self._on_match)
                     scan.array_callback = self._on_matches_array
                     # FASTSMC_NO_OVERLAP=1 falls back to the monolithic
-                    # scan (A/B knob for the producer-thread overlap)
-                    scan.run(verbose=verbose, overlap=not os.environ.get(
-                        "FASTSMC_NO_OVERLAP"))
+                    # scan (A/B knob for the producer-thread overlap);
+                    # "" and "0" conventionally mean off
+                    scan.run(verbose=verbose,
+                             overlap=os.environ.get("FASTSMC_NO_OVERLAP",
+                                                    "") in ("", "0"))
+            self._scan_thread_s = getattr(scan, "scan_thread_s", 0.0)
             if self._sort_buf:
                 self._drain_sort_buf(final=True)
             self._flush(self._bn)

@@ -237,7 +237,11 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
             cpu_util = round(((ru1.ru_utime - ru0.ru_utime)
                               + (ru1.ru_stime - ru0.ru_stime))
                              / max(walls[-1], 1e-9), 2)
-        wall = walls[-1]
+        # variance-controlled reporting (VERDICT r4 #8): wall = median of
+        # the steady (post-compile) runs, min/max recorded; the first run
+        # pays jit compiles/cache loads and is reported as cold_wall_s
+        steady = walls[1:] if runs > 1 else walls
+        wall = float(np.median(steady))
         st = f.stats
         row = dict(
             n_haps=n_haps, sites=SITES, panel_gen_s=round(gen_s, 1),
@@ -245,8 +249,11 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
             sort_batches=sort_batches,
             candidates=f._cpt, segments=f.n_segments,
             wall_s=round(wall, 1),
+            wall_min_max_s=[round(min(steady), 1), round(max(steady), 1)],
+            n_steady_runs=len(steady),
             cold_wall_s=round(walls[0], 1),
             candidates_per_sec=round(f._cpt / wall, 1),
+            roofline=f.roofline(),
             phase_s={k: round(v, 1) for k, v in f.timer.totals().items()},
             waste_decoded_over_cand=round(
                 st["decoded_site_pairs"] / max(st["cand_site_pairs"], 1), 2),

@@ -705,12 +705,16 @@ def test_fastsmc_posterior_budget_split_matches(repo_root, tmp_path):
         f = FastSMC(params, use_pallas="interpret", flush_group=2)
         if budget:
             f._post_budget = budget
+            # the underfull-batch shrink already drops this panel's ~50
+            # candidates to the 256 pad floor (which fits any budget);
+            # lower the floor so the recursive split machinery still runs
+            f._pad_floor = 8
         path = f.run(verbose=False)
         with gzip.open(path, "rt") as fh:
             return f, fh.read().splitlines()
 
     f0, want = run("nosplit")
-    f1, got = run("split", budget=64)   # forces splits down to pad 256
+    f1, got = run("split", budget=64)   # forces splits down to pad 64
     assert f1.stats["flushes"] > f0.stats["flushes"]
     pairs_w = {tuple(l.split("\t")[:6]) for l in want}
     pairs_g = {tuple(l.split("\t")[:6]) for l in got}
