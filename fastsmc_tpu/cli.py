@@ -46,6 +46,14 @@ def _add_fastsmc_parser(sub):
     p.add_argument("--gap", type=int, default=1)
     p.add_argument("--max_seeds", type=int, default=0)
     p.add_argument("--useKnownSeed", action="store_true")
+    p.add_argument("--permissiveWindow", action="store_true",
+                   help="scan each batch member over the batch-UNION "
+                        "window (the reference's permissive override, "
+                        "HMM.cpp:1199-1204 — sized for batchSize 32). "
+                        "Default scans each candidate over its own padded "
+                        "window (the reference's flagged less-permissive "
+                        "TODO option), making output invariant to batch "
+                        "size and candidate order")
     p.add_argument("--hashingBackend", default="host",
                    choices=["host", "device"],
                    help="identification scan: streaming host scan (native "
@@ -77,7 +85,8 @@ def _run_fastsmc(args):
         compress=args.compress, skip_csfs_distance=args.skipCSFSdistance,
         hashing=args.hashing, min_m=args.min_m, skip=args.skip,
         min_maf=args.min_maf, gap=args.gap, max_seeds=args.max_seeds,
-        use_known_seed=args.useKnownSeed)
+        use_known_seed=args.useKnownSeed,
+        permissive_window=args.permissiveWindow)
     FastSMC(params, hashing_backend=args.hashingBackend,
             decode_profile=args.decodeProfile).run()
 

@@ -87,6 +87,22 @@ class DecodingParams:
     hashing_word_size: int = 64
     const_read_ahead: int = 10
     haploid: bool = True
+    # Segment-scan window semantics for hashing-mode validation. The
+    # reference scans every batch member over the BATCH-UNION window
+    # ("permissive" override, HMM.cpp:1199-1204) — flagged in the
+    # reference source itself with "remove these 2 lines if you want the
+    # preprocessing step to be less permissive / TODO: add a flag for
+    # this option". That compromise was sized for batchSize=32, where the
+    # union stays candidate-local; at TPU batch sizes (8192) the union
+    # can span the chromosome, which both over-emits segments (~5x
+    # measured at batch 2048 on a dense panel) and makes output depend on
+    # batch composition. Default False = the reference's own flagged
+    # less-permissive option: each candidate is scanned over ITS padded
+    # window, making output invariant to batch size, candidate order and
+    # grouping. True reproduces reference batch-union semantics (use
+    # with batch_size=32 for byte-level comparisons against reference
+    # goldens).
+    permissive_window: bool = False
 
     # --- outputs ------------------------------------------------------------
     do_posterior_sums: bool = False

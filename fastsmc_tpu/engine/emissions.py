@@ -98,5 +98,26 @@ def prepare_emissions(data: Data, dq: DecodingQuantities,
         e2 = table[dist2_u, dist2_d]
         em2m0[idx] = np.where((u2i >= 0)[:, None], e2 - e0, -e0)
 
+    # fail fast on out-of-support CSFS lookups (e.g. unfolded data sent
+    # into the folded table): those rows are all-zero, and an all-zero
+    # emission for an observable class NaN-poisons every decode window
+    # containing the site (0/0 in the per-site normalization propagates
+    # through the whole recursion), silently deleting segments. The
+    # reference never validates this (HMM.cpp:159-256) because its loader
+    # guarantees folding; we construct Data objects programmatically too,
+    # so a loud error beats NaN output.
+    if len(idx):
+        for obs, p_obs, u in ((0, em1[idx] + em0m1[idx], u0[idx]),
+                              (1, em1[idx], u1[idx]),
+                              (2, em1[idx] + em0m1[idx] + em2m0[idx],
+                               u2[idx])):
+            bad = (u >= 0) & (p_obs.sum(axis=1) <= 0.0)
+            if bad.any():
+                s = idx[np.flatnonzero(bad)[0]]
+                raise ValueError(
+                    f"all-zero emission for observation {obs} at site {s} "
+                    f"(undistinguished counts {und[s]}): CSFS lookup out "
+                    "of support — is the panel folded to minor alleles "
+                    "consistently with params.fold_data?")
     return EmissionTables(em1=em1, em0minus1=em0m1, em2minus0=em2m0,
                           use_csfs_at=use, undistinguished=und)

@@ -732,15 +732,27 @@ class PallasDecoder:
     def _decode_extract_jit(self, tables, hap_bits, hap_a, hap_b,
                             t_len: int, state_threshold: int, t0, s0, s1,
                             cap: int, pps_cap: int, age_threshold: int,
-                            need_ages: bool, prob_threshold, isp_raw):
+                            need_ages: bool, prob_threshold, isp_raw,
+                            w0=None, w1=None):
         from . import segments as seg
         outs = BwdOutputs(posterior=need_ages, posterior_sums=False,
                           per_pair_mean=False, per_pair_map=False,
                           threshold_sums=True)
         r = self._decode_body(tables, hap_bits, hap_a, hap_b, t0, t_len,
                               outs, state_threshold)
+        th = r["threshold_sums"]
+        if w0 is not None:
+            # per-candidate scan windows (config.permissive_window=False):
+            # sites outside a column's own padded window are forced below
+            # every level threshold, so runs clip to the candidate's
+            # window regardless of the batch-union decode bounds — the
+            # run/boundary machinery needs no other change
+            pos = jnp.arange(th.shape[0], dtype=jnp.int32)
+            in_win = ((pos[:, None] >= w0[None, :])
+                      & (pos[:, None] < w1[None, :]))
+            th = jnp.where(in_win, th, jnp.float32(-1.0))
         packed, pps = seg._extract_packed_impl(
-            r["threshold_sums"], s0, s1, prob_threshold, cap,
+            th, s0, s1, prob_threshold, cap,
             r["posterior"] if need_ages else None, pps_cap)
         if not need_ages:
             return packed, None, r["threshold_sums"]
@@ -751,7 +763,8 @@ class PallasDecoder:
     def decode_extract_packed(self, hap_a, hap_b, t0: int, t_len: int,
                               state_threshold: int, s0, s1, prob_threshold,
                               cap: int, pps_cap: int, age_threshold: int,
-                              initial_state_prob, need_ages: bool = True):
+                              initial_state_prob, need_ages: bool = True,
+                              w0=None, w1=None):
         """One program: decode + in-jit run extraction (+ per-run posterior
         sums + per-run age estimates when ``need_ages``). Fusing keeps the
         [T, K, P] posterior a program-INTERNAL temp — as
@@ -775,6 +788,9 @@ class PallasDecoder:
             raise ValueError(f"cap={cap}/pps_cap={pps_cap} must be "
                              "positive multiples of 256")
         pps_cap = min(pps_cap, cap)
+        if w0 is not None:
+            w0 = jnp.asarray(w0, jnp.int32)
+            w1 = jnp.asarray(w1, jnp.int32)
         return self._decode_extract_jit(
             self._tables(), self.hap_bits, jnp.asarray(hap_a),
             jnp.asarray(hap_b), int(t_len), int(state_threshold),
@@ -782,4 +798,5 @@ class PallasDecoder:
             jnp.asarray(s1, jnp.int32), int(cap), int(pps_cap),
             int(age_threshold), bool(need_ages),
             jnp.asarray(prob_threshold, jnp.float32),
-            jnp.asarray(initial_state_prob, jnp.float32))
+            jnp.asarray(initial_state_prob, jnp.float32),
+            w0=w0, w1=w1)

@@ -377,6 +377,29 @@ def extract_packed(th, s0, s1, prob_threshold, cap: int,
                        int(cap), posterior, int(pps_cap))
 
 
+_mask_jit = None
+
+
+def mask_window(th, w0, w1):
+    """Per-column window mask: th [T, P] with -1 outside each column's
+    [w0_p, w1_p) window. Sites outside the window fall below every level
+    threshold, so run extraction clips to the candidate's own window —
+    the per-candidate scan semantics (config.permissive_window=False)
+    with no change to the extraction machinery."""
+    global _mask_jit
+    import jax
+    import jax.numpy as jnp
+    if _mask_jit is None:
+        def f(th, w0, w1):
+            pos = jnp.arange(th.shape[0], dtype=jnp.int32)
+            m = ((pos[:, None] >= w0[None, :])
+                 & (pos[:, None] < w1[None, :]))
+            return jnp.where(m, th, jnp.float32(-1.0))
+        _mask_jit = jax.jit(f)
+    return _mask_jit(th, jnp.asarray(w0, jnp.int32),
+                     jnp.asarray(w1, jnp.int32))
+
+
 _stack_jit = None
 
 

@@ -57,14 +57,17 @@ flags -> segmented cummax of ext over (run, skip-epoch) segments -> link
 flags) that converges to the exact sequential semantics; with
 ``max_seeds == 0`` it converges in one pass because M == ext == word.
 
-When to use which (scripts/hashing_scale_probe.py): the native C++ host
-scan is much faster in wall-clock terms — GERMLINE2 is linear and
-cache-friendly, while the device path pays per-word sorts and XLA
-dispatch/compile overheads — so ``hashing_backend="host"`` is the default.
-The device scan exists for pipelines that want identification to stay on
-the accelerator (no host round-trip of the packed panel) and as the
-scalable formulation should the host core become the bottleneck at
-extreme panel sizes; its outputs are identical.
+When to use which (scripts/hashing_scale_probe.py, BIOBANK_PROBE.json
+``device_scan_onchip_r4``): the native C++ host scan is the production
+path and is ~175x faster on real hardware (1.6 s vs 282.6 s at 16k haps)
+— GERMLINE2 is linear and cache-friendly, while the device formulation
+pays per-word sorts and XLA dispatch overheads that no plausible tuning
+closes. This module is therefore a PARITY/PORTABILITY artifact, not a
+performance path: it proves the GERMLINE2 semantics are expressible as
+pure XLA (useful where no host toolchain exists) and serves as a second
+independent implementation for set-parity testing. It is NOT the
+"TPU-scalable version" — identification is host-bound by design, and the
+producer-thread overlap (germline.py) hides its cost behind validation.
 """
 
 from __future__ import annotations

@@ -232,13 +232,14 @@ class ShardedDecoder:
     def _dep_jit(self, tables, hap_bits, hap_a, hap_b, t_len: int,
                  state_threshold: int, cap: int, pps_cap: int,
                  age_threshold: int, need_ages: bool, t0_static: int,
-                 scalars=None):
+                 scalars=None, w0=None, w1=None):
         from ..engine import segments as seg
         axis = self.axis
         outs = BwdOutputs(posterior=need_ages, posterior_sums=False,
                           threshold_sums=True)
+        windowed = w0 is not None
 
-        def local(tabs, bits, ha, hb, sc):
+        def local(tabs, bits, ha, hb, sc, lw0, lw1):
             t0, s0, s1, pthr, isp = sc
             if self._use_pallas:
                 r = self.dec._decode_body(tabs, bits, ha, hb, t0, t_len,
@@ -249,8 +250,16 @@ class ShardedDecoder:
                 r = self._emulated_outputs(post, bits, ha, hb, t0_static,
                                            t_len, outs, state_threshold)
                 exp = self.dec.exp_times.reshape(-1)[:self.K]
+            th = r["threshold_sums"]
+            if windowed:
+                # per-candidate scan windows (see PallasDecoder
+                # _decode_extract_jit) — local pair slice of w0/w1
+                pos = jnp.arange(th.shape[0], dtype=jnp.int32)
+                in_win = ((pos[:, None] >= lw0[None, :])
+                          & (pos[:, None] < lw1[None, :]))
+                th = jnp.where(in_win, th, jnp.float32(-1.0))
             packed, pps = seg._extract_packed_impl(
-                r["threshold_sums"], s0, s1, pthr, cap,
+                th, s0, s1, pthr, cap,
                 r["posterior"] if need_ages else None, pps_cap)
             if not need_ages:
                 return packed[None], r["threshold_sums"]
@@ -259,19 +268,23 @@ class ShardedDecoder:
 
         out_specs = (P(axis, None), P(axis, None, None), P(None, axis)) \
             if need_ages else (P(axis, None), P(None, axis))
-        in_specs = (P(), P(), P(axis), P(axis), P())
+        wspec = P(axis) if windowed else P()
+        in_specs = (P(), P(), P(axis), P(axis), P(), wspec, wspec)
         try:
             f = shard_map(local, mesh=self.mesh, in_specs=in_specs,
                           out_specs=out_specs, check_vma=False)
         except TypeError:  # older jax spells it check_rep
             f = shard_map(local, mesh=self.mesh, in_specs=in_specs,
                           out_specs=out_specs, check_rep=False)
-        return f(tables, hap_bits, hap_a, hap_b, scalars)
+        if not windowed:
+            w0 = w1 = jnp.zeros((), jnp.int32)
+        return f(tables, hap_bits, hap_a, hap_b, scalars, w0, w1)
 
     def decode_extract_packed(self, hap_a, hap_b, t0: int, t_len: int,
                               state_threshold: int, s0, s1, prob_threshold,
                               cap: int, pps_cap: int, age_threshold: int,
-                              initial_state_prob, need_ages: bool = True):
+                              initial_state_prob, need_ages: bool = True,
+                              w0=None, w1=None):
         """Sharded mirror of ``PallasDecoder.decode_extract_packed``:
         returns (packed [S, 2*cap+1] i32, ages [S, 2, min(cap, pps_cap)]
         f32 or None, threshold_sums [T, P] pair-sharded). Each shard
@@ -297,13 +310,16 @@ class ShardedDecoder:
                    jnp.asarray(s1, jnp.int32),
                    jnp.asarray(prob_threshold, jnp.float32),
                    jnp.asarray(initial_state_prob, jnp.float32))
+        if w0 is not None:
+            w0 = jnp.asarray(w0, jnp.int32)
+            w1 = jnp.asarray(w1, jnp.int32)
         res = self._dep_jit(tables, self.dec.hap_bits,
                             jnp.asarray(hap_a), jnp.asarray(hap_b),
                             int(t_len), int(state_threshold), int(cap),
                             int(pps_cap), int(age_threshold),
                             bool(need_ages),
                             0 if self._use_pallas else int(t0),
-                            scalars=scalars)
+                            scalars=scalars, w0=w0, w1=w1)
         if need_ages:
             return res
         packed, th = res

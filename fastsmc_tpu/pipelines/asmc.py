@@ -378,8 +378,31 @@ class ASMC:
                 h2 = np.concatenate([h2, np.full(bs - n, h2[-1], np.int32)])
             for (c0, c1, w0, w1) in chunks:
                 t_len = bucket_len(w1 - w0)
-                post = self._full_posterior(h1, h2, t_len, t0_pos=w0)
-                sums[c0:c1] += post[c0 - w0:c1 - w0, :, :n].sum(axis=2)
+                if self._fused:
+                    # device-fused over-pairs sums ([T, K]) instead of the
+                    # [T, K, P] posterior: a sequence-mode chunk at
+                    # t_len 16384 x P 1024 is a ~5 GB client buffer and a
+                    # multi-minute download on the ~23 MB/s link (it
+                    # RESOURCE_EXHAUSTED the chip in the round-5 probe);
+                    # the padded duplicate pairs are corrected by the same
+                    # second fused decode as the unchunked path above
+                    outs = self._outs_cls(posterior=False,
+                                          posterior_sums=True,
+                                          threshold_sums=False)
+                    r = self.decoder.decode_pairs(h1, h2, w0, t_len,
+                                                  outs, 0)
+                    s = np.asarray(r["posterior_sums"], np.float64)
+                    if n < bs:
+                        pad1 = np.full(bs, h1[n - 1], np.int32)
+                        pad2 = np.full(bs, h2[n - 1], np.int32)
+                        r_pad = self.decoder.decode_pairs(
+                            pad1, pad2, w0, t_len, outs, 0)
+                        s -= ((bs - n) / bs) * np.asarray(
+                            r_pad["posterior_sums"], np.float64)
+                    sums[c0:c1] += s[c0 - w0:c1 - w0]
+                else:
+                    post = self._full_posterior(h1, h2, t_len, t0_pos=w0)
+                    sums[c0:c1] += post[c0 - w0:c1 - w0, :, :n].sum(axis=2)
             if verbose:
                 done = min(ofs + bs, n_pairs)
                 print(f"\rDecoding progress: {100 * done // n_pairs}%",

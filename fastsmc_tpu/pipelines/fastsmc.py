@@ -55,6 +55,32 @@ def get_to_position(genetic_positions: np.ndarray, to_pos: int,
     return min(to_pos + 1, n)
 
 
+def pad_from_positions(genetic_positions: np.ndarray, from_pos: np.ndarray,
+                       cm_dist: float = 0.5) -> np.ndarray:
+    """Vectorized :func:`get_from_position` over a candidate array: the
+    largest j with (g[from] - g[j]) * 100 >= cm_dist, else 0. Equal to
+    the reference's stepwise walk up to f64 prefix-vs-incremental
+    rounding (< 1e-12 relative — boundary-identical unless a gap sum
+    lands exactly on cm_dist at that precision)."""
+    g = genetic_positions
+    target = g[from_pos] - cm_dist / 100.0
+    j = np.searchsorted(g, target, side="right") - 1
+    return np.maximum(np.minimum(j, from_pos), 0).astype(np.int64)
+
+
+def pad_to_positions(genetic_positions: np.ndarray, to_pos: np.ndarray,
+                     cm_dist: float = 0.5) -> np.ndarray:
+    """Vectorized :func:`get_to_position`: min(j + 1, n) for the smallest
+    j >= to with (g[j] - g[to]) * 100 >= cm_dist, else n - 1."""
+    g = genetic_positions
+    n = len(g)
+    tp = np.minimum(to_pos, n - 1)
+    target = g[tp] + cm_dist / 100.0
+    j = np.searchsorted(g, target, side="left")
+    j = np.minimum(np.maximum(j, tp), n - 1)
+    return np.minimum(j + 1, n).astype(np.int64)
+
+
 class FastSMC:
     """End-to-end FastSMC run for one job."""
 
@@ -66,7 +92,8 @@ class FastSMC:
                  decode_profile: str = "exact",
                  mesh=None,
                  sort_batches: int = 0,
-                 flush_group: int = 0):
+                 flush_group: int = 0,
+                 bucket_sites: Optional[int] = None):
         """hashing_backend: "host" (streaming scan; native C++ when built,
         Python otherwise) or "device" (sort-based XLA scan,
         hashing/vectorized.py).
@@ -84,6 +111,17 @@ class FastSMC:
         the unions and the wasted decoded sites. Output stays within the
         same permissive-window contract; the candidate stream and batch
         count remain deterministic (resume-safe).
+        bucket_sites: canonical-window bucketing (the production
+        default): each candidate decodes over the smallest ALIGNED
+        power-of-two block containing its padded window, and batches are
+        formed per block (eager flush — no sort barrier). Validation
+        output becomes a deterministic function of the candidate set,
+        invariant to batch size / candidate order / grouping (measured:
+        identical record sets at batch 32/512/2048), and decode waste is
+        bounded by construction instead of growing with batch size (11x
+        at arrival-order batch 8192). The value floors the block size in
+        sites. None = auto (64, or 0 when sort_batches>1 is explicitly
+        requested); 0 disables (legacy arrival-order union batches).
         flush_group: drain interval for the grouped validation flow
         (per-batch async decode + in-jit extraction dispatches; one
         stacked download per group) — the
@@ -208,6 +246,15 @@ class FastSMC:
         self.sort_batches = sort_batches
         self._sort_buf: List[Tuple[np.ndarray, ...]] = []
         self._sort_n = 0
+        # canonical-window buckets (see bucket_sites in the docstring)
+        if bucket_sites is None:
+            bucket_sites = 0 if sort_batches > 1 else 64
+        if bucket_sites and sort_batches > 1:
+            raise ValueError("bucket_sites and sort_batches are mutually "
+                             "exclusive candidate orderings")
+        self.bucket_sites = bucket_sites
+        self._buckets: dict = {}        # region -> list of column tuples
+        self._bucket_n: dict = {}       # region -> buffered count
         # window-waste accounting (VERDICT r2: measure batch-union waste)
         # + host/link roofline terms (VERDICT r4 #4): D2H bytes, device
         # wait inside the drain (device_get = queue wait + transfer on the
@@ -246,6 +293,12 @@ class FastSMC:
         stream as arrays; per-candidate Python calls would dominate a
         biobank run)."""
         self._cpt += len(id1)
+        if self.bucket_sites:
+            self._bucket_push(np.asarray(id1, np.int32),
+                              np.asarray(id2, np.int32),
+                              np.asarray(from_pos, np.int64),
+                              np.asarray(to_pos, np.int64))
+            return
         if self.sort_batches > 1:
             self._sort_buf.append((np.asarray(from_pos, np.int64),
                                    np.asarray(to_pos, np.int64),
@@ -256,6 +309,88 @@ class FastSMC:
                 self._drain_sort_buf(final=False)
             return
         self._push_arrays(id1, id2, from_pos, to_pos)
+
+    def _canonical_windows(self, frm, to):
+        """Canonical decode window per candidate: the smallest aligned
+        power-of-two block [o, o + 2^k) (alignment 2^(k-1)) containing
+        the candidate's 0.5 cM-PADDED window. Returns (k, o) arrays."""
+        g = self.data.genetic_positions
+        frm_p = pad_from_positions(g, frm)
+        t2_p = pad_to_positions(g, to)
+        ln = np.maximum(t2_p - frm_p, 1)
+        k = np.frexp(ln.astype(np.float64))[1]        # ceil log2
+        k = np.maximum(k, max(int(self.bucket_sites).bit_length() - 1, 6))
+        o = (frm_p >> (k - 1)) << (k - 1)
+        fits = o + (np.int64(1) << k) >= t2_p
+        k = np.where(fits, k, k + 1)                  # at most one bump
+        o = (frm_p >> (k - 1)) << (k - 1)
+        return k.astype(np.int64), o.astype(np.int64)
+
+    def _bucket_push(self, id1, id2, frm, to):
+        """Canonical-window bucketing: each candidate is assigned the
+        smallest ALIGNED power-of-two block covering its padded window
+        (:meth:`_canonical_windows`); candidates sharing a block batch
+        together, the block IS the decode window, and a batch flushes the
+        moment any bucket holds batch_size candidates (no sort barrier —
+        the device gets work while the producer thread keeps scanning).
+
+        This makes validation output a DETERMINISTIC FUNCTION OF THE
+        CANDIDATE SET: a candidate's posterior depends only on (pair,
+        canonical window) — never on batch size, arrival order, grouping
+        or which other candidates share the batch. Neither arrival-order
+        big batches (union windows can span the chromosome) nor the
+        reference itself (batch-32 unions, HMM.cpp:560-565) have this
+        property: per-site posteriors of recent-TMRCA states mix over
+        ~cM scales, so the decode-window choice shifts knife-edge
+        detections. Waste is bounded by construction: decode width
+        <= 4x the padded candidate window (typically ~2x), vs 11x
+        measured for arrival-order unions at batch 8192.
+
+        ``bucket_sites`` floors the block size (windows below it share
+        64-site-aligned blocks)."""
+        bs = self.params.batch_size
+        kk, oo = self._canonical_windows(frm, to)
+        key = (kk << 48) | oo
+        order = np.argsort(key, kind="stable")
+        keys, starts = np.unique(key[order], return_index=True)
+        for i, k in enumerate(keys):
+            sl = order[starts[i]:
+                       starts[i + 1] if i + 1 < len(keys) else None]
+            k = int(k)
+            self._buckets.setdefault(k, []).append(
+                (id1[sl], id2[sl], frm[sl], to[sl]))
+            n = self._bucket_n.get(k, 0) + len(sl)
+            while n >= bs:
+                cols = [np.concatenate([c_[j] for c_ in self._buckets[k]])
+                        for j in range(4)]
+                self._flush_bucket([c[:bs] for c in cols], k)
+                self._buckets[k] = [tuple(c[bs:] for c in cols)]
+                n -= bs
+            self._bucket_n[k] = n
+
+    def _flush_bucket(self, cols, key: int):
+        """Flush one canonical-window batch: decode bounds come from the
+        bucket key, NOT from the members' min/max (that is the point)."""
+        k = key >> 48
+        o = key & ((1 << 48) - 1)
+        frm = int(o)
+        t2 = int(min(o + (1 << k), self.data.sites))
+        self._flush_entry(cols[0].astype(np.int32),
+                          cols[1].astype(np.int32), cols[2], cols[3],
+                          self.params.batch_size, bounds=(frm, t2))
+
+    def _drain_buckets(self):
+        """End-of-scan flush: each remaining bucket tail flushes as its
+        OWN (partial) batch, in key order — same canonical bounds, so
+        tail candidates decode identically to full-batch ones; the
+        underfull-batch pad shrink keeps small tails cheap."""
+        for key in sorted(self._buckets):
+            cols = [np.concatenate([c_[j] for c_ in self._buckets[key]])
+                    for j in range(4)]
+            if len(cols[0]):
+                self._flush_bucket(cols, key)
+        self._buckets.clear()
+        self._bucket_n.clear()
 
     def _push_arrays(self, id1, id2, from_pos, to_pos):
         bs = self.params.batch_size
@@ -314,14 +449,19 @@ class FastSMC:
         self._bn = 0
         self._flush_entry(h1, h2, fr, to, self.params.batch_size)
 
-    def _flush_entry(self, h1, h2, fr, to, pad_to: int):
+    def _flush_entry(self, h1, h2, fr, to, pad_to: int, bounds=None):
         n = len(h1)
         p = self.params
         g = self.data.genetic_positions
         start_batch = int(fr.min())
         end_batch = int(to.max())
-        frm = get_from_position(g, start_batch)
-        t2 = get_to_position(g, end_batch)
+        if bounds is not None:
+            # canonical-window batch (_flush_bucket): decode bounds are a
+            # property of the bucket, not of the members' min/max
+            frm, t2 = bounds
+        else:
+            frm = get_from_position(g, start_batch)
+            t2 = get_to_position(g, end_batch)
         t_len = bucket_len(t2 - frm)
         need_ages = p.do_per_pair_posterior_mean or p.do_per_pair_map
 
@@ -342,8 +482,10 @@ class FastSMC:
         budget = self._post_budget if need_ages else self._alpha_budget
         if (pad_to > self._pad_floor and n > 1 and t_len * pad_to > budget):
             k = (n + 1) // 2
-            self._flush_entry(h1[:k], h2[:k], fr[:k], to[:k], pad_to // 2)
-            self._flush_entry(h1[k:], h2[k:], fr[k:], to[k:], pad_to // 2)
+            self._flush_entry(h1[:k], h2[:k], fr[:k], to[:k], pad_to // 2,
+                              bounds=bounds)
+            self._flush_entry(h1[k:], h2[k:], fr[k:], to[k:], pad_to // 2,
+                              bounds=bounds)
             return
 
         if self._batch_idx < self._resume_skip:
@@ -351,12 +493,30 @@ class FastSMC:
             return
         self._batch_idx += 1
 
+        # scan-window semantics: permissive = the batch union (reference
+        # HMM.cpp:1199-1204 override, raw-union variant); default = each
+        # candidate's own PADDED window (the reference's flagged
+        # less-permissive TODO option — batch-composition-invariant
+        # output; see config.permissive_window)
+        if self.params.permissive_window:
+            w0r = w1r = None
+            s0r, s1r = start_batch - frm, end_batch - frm
+        else:
+            w0a = pad_from_positions(g, fr)
+            w1a = pad_to_positions(g, to)
+            w0r = np.clip(w0a - frm, 0, t_len).astype(np.int32)
+            w1r = np.clip(w1a - frm, 0, t_len).astype(np.int32)
+            s0r, s1r = 0, t2 - frm
+
         # pad to a fixed batch width (one jit shape), like the reference pads
         # to a VECX multiple (HMM.cpp:617-621)
         if n < pad_to:
             fill = pad_to - n
             h1 = np.concatenate([h1, np.full(fill, h1[-1], np.int32)])
             h2 = np.concatenate([h2, np.full(fill, h2[-1], np.int32)])
+            if w0r is not None:
+                w0r = np.concatenate([w0r, np.full(fill, w0r[-1], np.int32)])
+                w1r = np.concatenate([w1r, np.full(fill, w1r[-1], np.int32)])
 
         self.stats["flushes"] += 1
         self.stats["union_site_pairs"] += (end_batch - start_batch) * n
@@ -366,6 +526,7 @@ class FastSMC:
             self._group.append(dict(
                 hap1=h1, hap2=h2, n=n, frm=frm, to=t2,
                 start=start_batch, end=end_batch, t_len=t_len,
+                s0=s0r, s1=s1r, w0=w0r, w1=w1r,
                 P=pad_to, need_ages=need_ages, idx=self._batch_idx))
             if len(self._group) >= self.flush_group:
                 self._dispatch_group()
@@ -378,7 +539,7 @@ class FastSMC:
         # host-side work for the PREVIOUS batch happens while this batch's
         # decode runs on device (in-order execution keeps results exact)
         self._finish_pending()
-        self._pending = (th_sums, post, n, frm, start_batch, end_batch,
+        self._pending = (th_sums, post, n, frm, s0r, s1r, w0r, w1r,
                          h1, h2, need_ages, self._batch_idx)
 
     # ------------------------------------------------------------------
@@ -409,11 +570,12 @@ class FastSMC:
             for e in entries:
                 packed, ages_rows, th = self.decoder.decode_extract_packed(
                     e["hap1"], e["hap2"], e["frm"], e["t_len"],
-                    self.state_threshold, e["start"] - e["frm"],
-                    e["end"] - e["frm"], self.prob_threshold,
+                    self.state_threshold, e["s0"], e["s1"],
+                    self.prob_threshold,
                     self._seg_cap, self._pps_cap, self.age_threshold,
                     self.dq.initial_state_prob,
-                    need_ages=e["need_ages"])
+                    need_ages=e["need_ages"],
+                    w0=e["w0"], w1=e["w1"])
                 ths.append(th)
                 packs.append(packed)
                 ppss.append(ages_rows)
@@ -499,7 +661,7 @@ class FastSMC:
                 # have write_block; ages attach as vectorised columns)
                 per_batch.append(("runs",) + seg.runs_from_packed(
                     idx_h, lv_i, score_h, len(idx_h), e["t_len"],
-                    int(e["end"] - e["frm"])))
+                    int(e["s1"])))
                 if e["need_ages"] and nb:
                     pps_rows.append(i)
             ages = {}
@@ -556,20 +718,23 @@ class FastSMC:
         so redone batches are byte-identical to what a big-enough initial
         cap would have produced (run-to-run reproducible output bytes)."""
         import jax
-        s0 = int(e["start"] - e["frm"])
-        s1 = int(e["end"] - e["frm"])
+        s0, s1 = int(e["s0"]), int(e["s1"])
         while True:
             if e["need_ages"]:
                 packed_d, ages_d, _ = self.decoder.decode_extract_packed(
                     e["hap1"], e["hap2"], e["frm"], e["t_len"],
                     self.state_threshold, s0, s1, self.prob_threshold,
                     self._seg_cap, self._pps_cap, self.age_threshold,
-                    self.dq.initial_state_prob, need_ages=True)
+                    self.dq.initial_state_prob, need_ages=True,
+                    w0=e["w0"], w1=e["w1"])
             else:
                 # re-extract only: the saved threshold sums already hold
                 # the decode result
+                th_m = th if e["w0"] is None else \
+                    seg.mask_window(th, e["w0"], e["w1"])
                 packed_d, _ = seg.extract_packed(
-                    th, s0, s1, self.prob_threshold, self._seg_cap, None, 0)
+                    th_m, s0, s1, self.prob_threshold, self._seg_cap,
+                    None, 0)
                 ages_d = None
             t_w = time.perf_counter()
             packed = np.asarray(jax.device_get(packed_d))
@@ -632,17 +797,18 @@ class FastSMC:
     def _finish_pending(self):
         if self._pending is None:
             return
-        (th_sums, post, n, frm, start_batch, end_batch,
+        (th_sums, post, n, frm, s0, s1, w0r, w1r,
          hap1, hap2, need_ages, done_idx) = self._pending
         self._pending = None
-        # segment scan window: the batch union [start, end) — the reference's
-        # permissive override (HMM.cpp:1199-1204)
+        # segment scan windows: batch union (permissive) or per-candidate
+        # padded windows (default; -1-masked columns clip runs, see
+        # _flush_entry)
         with self.timer.phase("segments"):
-            s0 = start_batch - frm
-            s1 = end_batch - frm
             if self._bwd_outputs_cls is not None:
                 # device extraction: only run boundaries + per-run
                 # reductions cross the (slow) host link
+                if w0r is not None:
+                    th_sums = seg.mask_window(th_sums, w0r, w1r)
                 segs, self._seg_cap = seg.extract_segments_device(
                     th_sums, post if need_ages else None,
                     self.prob_threshold, s0, s1, frm,
@@ -650,8 +816,12 @@ class FastSMC:
                 segs = [s for s in segs if s.pair < n]
             else:
                 sums_w = np.asarray(th_sums)[s0:s1]
+                if w0r is not None:
+                    pos = np.arange(s0, s1)[:, None]
+                    in_win = (pos >= w0r[None, :]) & (pos < w1r[None, :])
+                    sums_w = np.where(in_win, sums_w, np.float32(-1.0))
                 segs = seg.extract_segments(sums_w, self.prob_threshold,
-                                            start_batch, None,
+                                            frm + s0, None,
                                             self.age_threshold)
                 segs = [s for s in segs if s.pair < n]
                 if need_ages and segs:
@@ -858,6 +1028,8 @@ class FastSMC:
                              overlap=os.environ.get("FASTSMC_NO_OVERLAP",
                                                     "") in ("", "0"))
             self._scan_thread_s = getattr(scan, "scan_thread_s", 0.0)
+            if self.bucket_sites:
+                self._drain_buckets()
             if self._sort_buf:
                 self._drain_sort_buf(final=True)
             self._flush(self._bn)

@@ -68,6 +68,19 @@ def make_panel(n_haps: int, seed: int = 0):
         noise = rng.random((b, SITES)) < 0.012
         bits[lo:hi] ^= noise.astype(np.uint8)
     n_ind = n_haps // 2
+    # minor-allele folding, exactly like the file loader (Data.cpp:365-366,
+    # 472-473). Round-4 skipped it (fold_to_minor=False on unfolded bits),
+    # which sent out-of-support rows into the FOLDED CSFS table: ~3% of
+    # sites got an all-zero emission row, and any decode window containing
+    # such a site for a pair observing that class went NaN — silently
+    # deleting segments, with the loss pattern depending on batch unions.
+    # The hashing stage reconstructs raw alleles as folded ^ flipped, so
+    # the candidate stream is unchanged by the fix; only validation
+    # (emissions) is repaired.
+    dac = bits.sum(axis=0).astype(np.int32)
+    flip = dac > n_haps - dac
+    bits = bits ^ flip[None, :].astype(np.uint8)
+    dac = np.where(flip, n_haps - dac, dac).astype(np.int32)
     return Data(
         sites=SITES, sample_size=n_ind,
         fam_id_list=[f"f{i}" for i in range(n_ind)],
@@ -77,11 +90,11 @@ def make_panel(n_haps: int, seed: int = 0):
         physical_positions=np.arange(SITES, dtype=np.int64) * 1000,
         rec_rate_at_marker=np.zeros(SITES),
         snp_ids=[f"snp{i}" for i in range(SITES)],
-        derived_allele_counts=bits.sum(axis=0).astype(np.int32),
+        derived_allele_counts=dac,
         total_samples_count=np.full(SITES, n_haps, np.int32),
-        site_was_flipped=np.zeros(SITES, bool),
+        site_was_flipped=flip,
         chr_number=1, windows=None,
-        fold_to_minor=False, decoding_uses_csfs=False, use_known_seed=True)
+        fold_to_minor=True, decoding_uses_csfs=True, use_known_seed=True)
 
 
 def params_for(n_haps: int):
@@ -183,7 +196,8 @@ def decode_probe():
 def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
               profile: str = "fast", sort_list=(0, 8),
               key: str = "e2e", ages: bool = False,
-              keep_output: bool = False, runs: int = 1):
+              keep_output: bool = False, runs: int = 1,
+              bucket_sites: int = 0):
     """Full FastSMC pipeline wall-to-wall on the chip: host-native scan ->
     batched Pallas validation -> device segment extraction -> IBD writer.
     The VERDICT r2 #1 measurement: sustained end-to-end candidates/s with
@@ -226,7 +240,8 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
         cpu_util = 0.0
         for _ in range(runs):
             f = FastSMC(params, data=data, dq=dq, use_pallas=True,
-                        decode_profile=profile, sort_batches=sort_batches)
+                        decode_profile=profile, sort_batches=sort_batches,
+                        bucket_sites=bucket_sites)
             ru0 = resource.getrusage(resource.RUSAGE_SELF)
             t0 = time.time()
             path = f.run(verbose=True)
@@ -246,7 +261,7 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
         row = dict(
             n_haps=n_haps, sites=SITES, panel_gen_s=round(gen_s, 1),
             batch_size=batch_size, profile=profile, ages=ages,
-            sort_batches=sort_batches,
+            sort_batches=sort_batches, bucket_sites=bucket_sites,
             candidates=f._cpt, segments=f.n_segments,
             wall_s=round(wall, 1),
             wall_min_max_s=[round(min(steady), 1), round(max(steady), 1)],

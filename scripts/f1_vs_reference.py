@@ -188,7 +188,7 @@ def ensure_dq(root):
 # ---------------------------------------------------------------------------
 
 def run_fastsmc(root, dq_path, out_root, hashing, jobs=1, job_ind=1,
-                cpu=False):
+                cpu=False, permissive=False):
     from fastsmc_tpu.config import DecodingParams
     from fastsmc_tpu.pipelines.fastsmc import FastSMC
 
@@ -196,13 +196,18 @@ def run_fastsmc(root, dq_path, out_root, hashing, jobs=1, job_ind=1,
         root, dq_path, out_root,
         hashing=hashing, jobs=jobs, job_ind=job_ind,
         use_known_seed=True, batch_size=32,
-        output_ibd_segment_length=True)
+        output_ibd_segment_length=True,
+        permissive_window=permissive)
     # exact test_fastsmc_regression.cpp:34-53 settings
     assert params.min_m == 1.5 and params.time == 50
     assert params.no_conditional_age_estimates
     assert params.do_per_pair_posterior_mean and params.do_per_pair_map
     t0 = time.time()
-    f = FastSMC(params, use_pallas=None if not cpu else False)
+    # permissive = reproduce the reference's batch-union flow exactly
+    # (arrival order, union windows, batch 32); default = the production
+    # canonical-window semantics
+    kw = dict(bucket_sites=0) if permissive else {}
+    f = FastSMC(params, use_pallas=None if not cpu else False, **kw)
     path = f.run(verbose=False)
     print(f"[run] {os.path.basename(out_root)}: {f.n_segments} segments "
           f"({f._cpt} candidates) in {time.time() - t0:.1f}s")
@@ -298,15 +303,28 @@ def f1_scores(golden_path, ours_path):
 
 def main():
     cpu = "--cpu" in sys.argv
+    if cpu:
+        # the axon sitecustomize pins the platform; env vars alone do not
+        # switch to CPU (CLAUDE.md) — must be set before any jax use
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     pos, cm, anchored = reconstruct_map()
     root = write_panel_dir(pos, cm)
     dq_path = ensure_dq(root)
 
     out_hash = run_fastsmc(root, dq_path, "/tmp/f1_hashing",
-                           hashing=True, cpu=cpu)
+                           hashing=True, cpu=cpu, permissive=True)
     res_hash = f1_scores(os.path.join(REF, "regression_output.ibd.gz"),
                          out_hash)
-    print("[f1] hashing 1/1:", json.dumps(res_hash))
+    print("[f1] hashing 1/1 (permissive, reference semantics):",
+          json.dumps(res_hash))
+
+    out_hash_c = run_fastsmc(root, dq_path, "/tmp/f1_hashing_canon",
+                             hashing=True, cpu=cpu, permissive=False)
+    res_hash_c = f1_scores(os.path.join(REF, "regression_output.ibd.gz"),
+                           out_hash_c)
+    print("[f1] hashing 1/1 (canonical windows, production default):",
+          json.dumps(res_hash_c))
 
     out_nh = run_fastsmc(root, dq_path, "/tmp/f1_nohash",
                          hashing=False, jobs=9, job_ind=7, cpu=cpu)
@@ -319,6 +337,7 @@ def main():
         "map_anchored_sites": int(anchored.sum()),
         "map_total_sites": int(len(pos)),
         "hashing": res_hash,
+        "hashing_canonical_windows": res_hash_c,
         "no_hashing_7_9": res_nh,
         "caveats": "reconstructed genetic map (1,941/6,760 sites exactly "
                    "anchored from golden cM lengths, rest interpolated); "

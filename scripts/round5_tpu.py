@@ -193,6 +193,17 @@ def phase_steady(n):
                   ages=False, runs=4)
 
 
+def phase_buckets():
+    """VERDICT r4 #7: eager region bucketing vs arrival order — cut the
+    16k window waste without stalling the scan overlap (the sort barrier
+    did; bucketing flushes as soon as any region fills)."""
+    for n in (16_384, 98_304):
+        for bsites in (512, 1024):
+            e2e_probe(n, 8192, "fast", (0,),
+                      key=f"e2e_{n}_r5_fast_bucket{bsites}",
+                      ages=False, runs=3, bucket_sites=bsites)
+
+
 def main():
     import jax
     log(f"backend: {jax.default_backend()}")
@@ -200,7 +211,8 @@ def main():
     phases = dict(goldens=phase_goldens, agree=phase_agree,
                   mesh1=phase_mesh1, seq_e2e=phase_seq_e2e,
                   steady16=lambda: phase_steady(16_384),
-                  steady98=lambda: phase_steady(98_304))
+                  steady98=lambda: phase_steady(98_304),
+                  buckets=phase_buckets)
     names = list(phases) if which == "all" else which.split(",")
     for name in names:
         log(f"=== phase {name} ===")

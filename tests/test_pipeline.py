@@ -315,6 +315,58 @@ def test_fastsmc_sort_batches_same_pairs(synthetic_panel, repo_root,
     assert w1 <= w0 + 1e-9, (w0, w1)
 
 
+@pytest.mark.slow
+def test_fastsmc_canonical_windows_batch_invariant(synthetic_panel,
+                                                   repo_root, tmp_path):
+    """Canonical-window bucketing (the production default) makes the
+    validated output a deterministic function of the candidate set: the
+    RECORD SET is identical across batch sizes and across repeat runs
+    (each candidate decodes over its canonical aligned block, never over
+    a batch-composition-dependent union), every planted pair is found,
+    and the candidate count is unchanged vs arrival order."""
+    import gzip as _gz
+
+    from fastsmc_tpu.config import DecodingParams
+    from fastsmc_tpu.pipelines.fastsmc import FastSMC
+
+    root, planted, bits = synthetic_panel
+    dq = str(repo_root / "artifacts" / "n300.array.decodingQuantities.npz")
+
+    def run(out, batch_size, **kw):
+        p = DecodingParams.fastsmc_defaults(
+            root, dq, str(tmp_path / out), use_known_seed=True, min_m=0.5,
+            batch_size=batch_size)
+        f = FastSMC(p, use_pallas=False, **kw)
+        path = f.run(verbose=False)
+        with _gz.open(path, "rt") as fh:
+            lines = fh.read().splitlines()
+        return f, lines
+
+    f1, lines1 = run("bs8", 8)
+    f2, lines2 = run("bs8_again", 8)
+    f3, lines3 = run("bs32", 32)
+    f0, lines0 = run("arrival", 8, bucket_sites=0)
+    assert lines1 == lines2, "bucketed run not deterministic"
+    # identity + interval columns identical across batch sizes; float
+    # columns to f32 tiling ulps (XLA matmul micro-kernels differ per
+    # batch width — the same class of deviation as the reference's
+    # AVX-vs-NO_SSE builds, SURVEY §7.3)
+    assert len(lines1) == len(lines3), "record count changed"
+    for g, w in zip(sorted(lines1), sorted(lines3)):
+        ga, wa = g.split("\t"), w.split("\t")
+        assert ga[:9] == wa[:9], (g, w)
+        for x, y in zip(ga[9:], wa[9:]):
+            fx, fy = float(x), float(y)
+            assert abs(fx - fy) <= 1e-5 * max(abs(fx), abs(fy), 1e-9), (g, w)
+    assert f0._cpt == f1._cpt, "candidate count changed"
+    # every planted pair must be detected
+    found = {tuple(sorted((int(l.split("\t")[1][3:]) * 2 + int(l.split("\t")[2]) - 1,
+                           int(l.split("\t")[4][3:]) * 2 + int(l.split("\t")[5]) - 1)))
+             for l in lines1}
+    for (a, b, s, e) in planted:
+        assert tuple(sorted((a, b))) in found, f"planted pair {(a, b)} lost"
+
+
 # ---------------------------------------------------------------------------
 # default-suite smokes (NOT slow-marked): one end-to-end path always runs
 # ---------------------------------------------------------------------------
