@@ -472,12 +472,17 @@ class FastSMC:
         # pair axis (candidates stay in stream order, so each half's own
         # union usually also shrinks) until the program fits the budget.
         # underfull batches (e.g. a lone near-chromosome-wide candidate in
-        # the final flush) shrink their pad bucket first: a single wide
-        # candidate must not dispatch at t_len 8192 x P 8192 with the ages
-        # posterior (~19 GB — the HBM compile crash the guard prevents);
-        # per-pair outputs are independent of the pad width, so this only
-        # changes program shapes, never results
-        while pad_to > self._pad_floor and n <= pad_to // 2:
+        # the final flush, or canonical-bucket tails) shrink their pad
+        # bucket first: a single wide candidate must not dispatch at
+        # t_len 8192 x P 8192 with the ages posterior (~19 GB — the HBM
+        # compile crash the guard prevents); per-pair outputs are
+        # independent of the pad width, so this only changes program
+        # shapes, never results. Floor 1024 (not 256): every extra
+        # (t_len, P) shape is a 30-80 s cold compile on the axon backend,
+        # and canonical bucketing produces ~#buckets partial tails per
+        # run — padded compute below width 1024 is cheaper than the
+        # compile diversity.
+        while pad_to > max(self._pad_floor, 1024) and n <= pad_to // 2:
             pad_to //= 2
         budget = self._post_budget if need_ages else self._alpha_budget
         if (pad_to > self._pad_floor and n > 1 and t_len * pad_to > budget):

@@ -197,7 +197,7 @@ def e2e_probe(n_haps: int = SWEEP[-1], batch_size: int = 8192,
               profile: str = "fast", sort_list=(0, 8),
               key: str = "e2e", ages: bool = False,
               keep_output: bool = False, runs: int = 1,
-              bucket_sites: int = 0):
+              bucket_sites=None):
     """Full FastSMC pipeline wall-to-wall on the chip: host-native scan ->
     batched Pallas validation -> device segment extraction -> IBD writer.
     The VERDICT r2 #1 measurement: sustained end-to-end candidates/s with

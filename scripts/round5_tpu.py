@@ -187,21 +187,21 @@ def phase_steady(n):
               ages=True, runs=4)
     e2e_probe(n, 8192, "exact", (0,), key=f"e2e_{n}_r5_exact_ages",
               ages=True, runs=4)
-    if n >= 98_304:
-        # the sorted variant for the dense-panel default comparison
-        e2e_probe(n, 8192, "fast", (32,), key=f"e2e_{n}_r5_fast_sort32",
-                  ages=False, runs=4)
 
 
 def phase_buckets():
-    """VERDICT r4 #7: eager region bucketing vs arrival order — cut the
-    16k window waste without stalling the scan overlap (the sort barrier
-    did; bucketing flushes as soon as any region fills)."""
+    """VERDICT r4 #7 ordering A/B on the fixed panel: canonical-window
+    batching (production default) vs legacy arrival-order unions vs the
+    round-4 sort buffer — wall, waste and overlap behaviour. (Canonical
+    also changes SEMANTICS — deterministic candidate-set function — so
+    this is a perf A/B, not an output A/B; see PARITY.md.)"""
     for n in (16_384, 98_304):
-        for bsites in (512, 1024):
-            e2e_probe(n, 8192, "fast", (0,),
-                      key=f"e2e_{n}_r5_fast_bucket{bsites}",
-                      ages=False, runs=3, bucket_sites=bsites)
+        e2e_probe(n, 8192, "fast", (0,),
+                  key=f"e2e_{n}_r5_fast_arrival",
+                  ages=False, runs=3, bucket_sites=0)
+        e2e_probe(n, 8192, "fast", (32,),
+                  key=f"e2e_{n}_r5_fast_sort32",
+                  ages=False, runs=3, bucket_sites=0)
 
 
 def main():
