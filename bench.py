@@ -227,11 +227,10 @@ def bench_pipeline(on_tpu):
                 decoding_quant_file=dq_path, min_m=1.5, use_known_seed=True,
                 output_ibd_segment_length=ages,
                 do_per_pair_posterior_mean=ages, do_per_pair_map=ages)
-            # arrival order: at 16k density the scan/validation overlap
-            # dominates and the sort buffer stalls it (ROOFLINE.md r4
-            # addendum); sort_batches=32 is for denser panels
+            # production defaults: canonical-window bucketing (r5) —
+            # batch-invariant output, bounded waste, no sort barrier
             f = FastSMC(params, data=data, dq=dq, use_pallas=True,
-                        decode_profile="fast", sort_batches=0)
+                        decode_profile="fast")
             dq = f.dq
             t0 = time.time()
             f.run(verbose=False)

@@ -299,7 +299,11 @@ def test_fastsmc_sort_batches_same_pairs(synthetic_panel, repo_root,
         p = DecodingParams.fastsmc_defaults(
             root, dq, str(tmp_path / out), use_known_seed=True, min_m=0.5,
             batch_size=8)
-        f = FastSMC(p, use_pallas=False, sort_batches=sort_batches)
+        # bucket_sites=0: this test pins the legacy sort-buffer ordering
+        # (canonical-window bucketing is the default and is covered by
+        # test_fastsmc_canonical_windows_batch_invariant)
+        f = FastSMC(p, use_pallas=False, sort_batches=sort_batches,
+                    bucket_sites=0)
         path = f.run(verbose=False)
         with _gz.open(path, "rt") as fh:
             lines = fh.read().splitlines()
@@ -313,6 +317,28 @@ def test_fastsmc_sort_batches_same_pairs(synthetic_panel, repo_root,
     w0 = f0.stats["decoded_site_pairs"] / f0.stats["cand_site_pairs"]
     w1 = f1.stats["decoded_site_pairs"] / f1.stats["cand_site_pairs"]
     assert w1 <= w0 + 1e-9, (w0, w1)
+
+
+def test_pad_position_helpers_match_scalar_loops():
+    """The vectorized 0.5 cM padding helpers (pad_from/to_positions,
+    used per candidate for canonical windows) must agree with the
+    reference's stepwise scalar walks (HmmUtils.cpp:153-177 mirrors) on
+    irregular maps, including chromosome edges."""
+    from fastsmc_tpu.pipelines.fastsmc import (
+        get_from_position, get_to_position, pad_from_positions,
+        pad_to_positions)
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        L = int(rng.integers(50, 400))
+        gaps = rng.exponential(2e-4, L - 1)
+        gaps[rng.random(L - 1) < 0.1] *= 20          # occasional hot spots
+        g = np.concatenate([[0.0], np.cumsum(gaps)])
+        idx = rng.integers(0, L, 200)
+        want_from = np.array([get_from_position(g, int(i)) for i in idx])
+        want_to = np.array([get_to_position(g, int(i)) for i in idx])
+        np.testing.assert_array_equal(pad_from_positions(g, idx), want_from)
+        np.testing.assert_array_equal(pad_to_positions(g, idx), want_to)
 
 
 @pytest.mark.slow
