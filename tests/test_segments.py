@@ -119,6 +119,49 @@ def test_device_extraction_matches_host():
             np.testing.assert_allclose(g.pps, w.pps, rtol=1e-4)
 
 
+def test_merge_packed_shards_equals_meshless():
+    """Merging per-shard packed extraction rows must reproduce the
+    meshless extraction over the same global [T, P] matrix: the shards
+    partition the pair axis contiguously, so offset-adjusted boundary
+    streams concatenate into the global pair-major stream."""
+    import jax
+    from fastsmc_tpu.engine import segments as seg
+
+    rng = np.random.default_rng(3)
+    T, P, S = 128, 32, 4
+    cap = 256
+    th = rng.random((T, P)).astype(np.float32) * 0.008   # below prob
+    th[40:90, 5] = 0.5
+    th[10:20, 17] = 0.9
+    th[100:120, 31] = 0.05
+    prob = 0.01
+    s0, s1 = 4, 120
+
+    # meshless reference
+    packed, _ = seg.extract_packed(jnp_asarray(th), s0, s1, prob, cap)
+    idx_w, lv_w, score_w, n_w = seg.unpack_extract_rows(
+        np.asarray(jax.device_get(packed)), cap)
+
+    # per-shard rows, merged
+    rows = []
+    Pl = P // S
+    for s in range(S):
+        pk, _ = seg.extract_packed(jnp_asarray(th[:, s * Pl:(s + 1) * Pl]),
+                                   s0, s1, prob, cap)
+        rows.append(np.asarray(jax.device_get(pk)))
+    idx_m, lv_m, score_m, ns = seg.merge_packed_shards(
+        np.stack(rows), T, Pl)
+    assert sum(ns) == n_w
+    np.testing.assert_array_equal(idx_m, idx_w[:n_w])
+    np.testing.assert_array_equal(lv_m, lv_w[:n_w])
+    np.testing.assert_allclose(score_m, score_w[:n_w], rtol=1e-6)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
 def test_extract_runs_jax_matches_host():
     """The fully in-jit extraction (extract_runs_jax + segments_from_runs,
     used by the fused decode+extract path) must reproduce the host path:
