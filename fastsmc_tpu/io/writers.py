@@ -41,10 +41,19 @@ class IbdRecord:
 
 
 class IbdTextWriter:
-    """Streaming text IBD writer (HMM.cpp:1114-1144)."""
+    """Streaming text IBD writer (HMM.cpp:1114-1144).
+
+    Bulk writes deflate on a background thread (``threaded=True``): at
+    ~15 MB/s zlib-6 on this host, a biobank run's deflate is seconds of
+    MAIN-thread time that the grouped pipeline needs for dispatch/drain;
+    zlib releases the GIL, so a dedicated writer thread overlaps it with
+    the device work the main thread is waiting on. Byte order is
+    preserved (single FIFO queue; direct text writes and close() drain
+    the queue first)."""
 
     def __init__(self, path: str, fam_ids: List[str], iids: List[str],
-                 chr_number: int, append: bool = False):
+                 chr_number: int, append: bool = False,
+                 threaded: bool = True):
         # compresslevel 6 = the zlib default the reference's gzofstream uses
         # (Python's gzip defaults to 9, ~3x slower deflate — it was ~7 s
         # of the 98k-hap e2e output phase for a 2% size difference)
@@ -60,8 +69,44 @@ class IbdTextWriter:
         # formatter CPU vs gzip-deflate CPU inside write_block
         self.fmt_s = 0.0
         self.deflate_s = 0.0
+        self._q = None
+        self._thr = None
+        self._thr_err = None
+        if threaded:
+            import queue
+            import threading
+            self._q = queue.Queue(maxsize=64)
+            self._thr = threading.Thread(target=self._deflate_loop,
+                                         name="fastsmc-deflate",
+                                         daemon=True)
+            self._thr.start()
+
+    def _deflate_loop(self):
+        import time as _time
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                t0 = _time.perf_counter()
+                self._f.buffer.write(item)
+                self.deflate_s += _time.perf_counter() - t0
+            except BaseException as e:      # surfaced on the main thread
+                self._thr_err = e
+                return
+            finally:
+                self._q.task_done()
+
+    def _sync_q(self):
+        """Drain queued bulk writes (ordering barrier before any direct
+        text write, flush, or close)."""
+        if self._q is not None:
+            self._q.join()
+            if self._thr_err is not None:
+                raise self._thr_err
 
     def write(self, r: IbdRecord) -> None:
+        self._sync_q()
         parts = [self.fam[r.ind1], self.iid[r.ind1], str(r.hap1),
                  self.fam[r.ind2], self.iid[r.ind2], str(r.hap2),
                  str(self.chr), str(r.pos_start), str(r.pos_end)]
@@ -104,14 +149,19 @@ class IbdTextWriter:
                          str(self.chr), post_est, map_est)
         if buf is not None:
             self.fmt_s += _time.perf_counter() - _t0
-            _t0 = _time.perf_counter()
             if self._text_dirty:
                 # order text-wrapper bytes before ours; skipping the flush
                 # when clean avoids a Z_SYNC_FLUSH per flushed batch
                 self._f.flush()
                 self._text_dirty = False
-            self._f.buffer.write(buf)
-            self.deflate_s += _time.perf_counter() - _t0
+            if self._q is not None:
+                if self._thr_err is not None:
+                    raise self._thr_err
+                self._q.put(buf)
+            else:
+                _t0 = _time.perf_counter()
+                self._f.buffer.write(buf)
+                self.deflate_s += _time.perf_counter() - _t0
             self.n_written += n
             return
         fam, iid, ch = self.fam, self.iid, str(self.chr)
@@ -130,11 +180,17 @@ class IbdTextWriter:
             if map_est is not None:
                 parts.append("%.7g" % map_est[j])
             out.append("\t".join(parts))
+        self._sync_q()
         self._f.write("\n".join(out) + "\n")
         self.n_written += len(out)
         self._text_dirty = True
 
     def close(self):
+        if self._q is not None:
+            self._sync_q()
+            self._q.put(None)
+            self._thr.join()
+            self._q = None
         self._f.close()
 
 

@@ -843,6 +843,11 @@ class FastSMC:
         member."""
         import os
         out = self.params.ibd_output_path()
+        # reopening replaces the writer object: carry the roofline
+        # counters so a checkpointed run reports its FULL fmt/deflate
+        # cost (they silently reset every 4 drains in round 4)
+        fmt_s = getattr(self._writer, "fmt_s", 0.0)
+        deflate_s = getattr(self._writer, "deflate_s", 0.0)
         self._writer.close()
         offset = os.path.getsize(out)
         path = out + ".progress"
@@ -851,6 +856,8 @@ class FastSMC:
             f.write(f"{done_idx} {self.n_segments} {offset}\n")
         os.replace(tmp, path)
         self._open_writer(append=True)
+        self._writer.fmt_s = fmt_s
+        self._writer.deflate_s = deflate_s
 
     def _fill_pps(self, segs: List[seg.Segment], post, frm: int,
                   chunk: int = 256) -> None:
