@@ -777,7 +777,8 @@ class PallasDecoder:
         downloading 2 scalars/run instead of K posterior sums is the
         difference between ~0.5 and ~5 MB per batch.
 
-        Returns (packed row [2*cap+1] i32, ages [2, min(cap, pps_cap)]
+        Returns (packed row [3*cap+2] i32 — device-compacted KEPT runs:
+        start, end, score, n_kept, n_raw —, ages [2, min(cap, pps_cap)]
         f32 (posterior-mean row, MAP row) or None when not need_ages,
         threshold_sums [T, P])."""
         T, P = int(t_len), len(hap_a)

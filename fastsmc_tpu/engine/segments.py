@@ -140,23 +140,12 @@ def extract_segments(
 # -- pure traced building blocks (used inside the fused decode+extract jit,
 # extract_packed, and by the standalone jits below) ------------------------
 
-def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
-                     score_chunk: int = 256):
-    """Fully in-jit run extraction over the window [s0, s1) of ``th``
-    [T, P]: level classification, boundary compaction, run bounds, and run
-    scores — no host round-trip (the synchronous count check + boundary
-    download of ``extract_segments_device`` cost ~0.4 s/flush on the
-    remote TPU link, DISPATCH_PROBE.json).
-
-    Returns (idx [cap] i32, lv [cap] u8, n i32, score [cap] f32,
-    pair [cap] i32, a [cap] i32, b [cap] i32). Entries past ``n`` have
-    idx == T*P and lv == 4 (callers mask on lv != 4); if n > cap the
-    results are truncated and the caller must re-extract with more cap.
-
-    Scores use the same chunked HIGHEST-precision indicator einsum as
-    ``extract_segments_device`` (identical numerics; the reference
-    accumulates in f32 too, HMM.cpp:1216-1222).
-    """
+def _boundaries_runs_jax(th, s0, s1, prob_threshold, cap: int):
+    """In-jit boundary detection + run bounds (no scores): level
+    classification, two-level boundary compaction, and per-run (pair, a,
+    b). Returns (idx [cap] i32, lv [cap] u8, n i32, pair, a, b [cap]
+    i32); entries past ``n`` have idx == T*P and lv == 4, and if n > cap
+    the results are truncated (callers must re-extract with more cap)."""
     import jax
     import jax.numpy as jnp
 
@@ -202,8 +191,19 @@ def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
     nxt = jnp.concatenate([idx[1:], jnp.full((1,), T * P, jnp.int32)])
     same = (nxt // T) == pair
     b = jnp.where(same, (nxt % T) - 1, s1 - 1)
+    return idx, lv, n, pair, a, b
 
-    # scores: chunked indicator einsum; fill entries get b < a -> 0
+
+def _run_scores_jax(th, pair, a, b, n, cap: int, score_chunk: int = 256):
+    """Per-run scores over [cap] run arrays: chunked HIGHEST-precision
+    indicator einsum, only the chunks holding the first ``n`` runs
+    computed (fill/e.g. padded entries have b < a -> score 0). Each
+    output element is an independent dot over its own indicator row, so
+    values do not depend on which other runs share a chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    T, P = th.shape
     pr = jnp.minimum(pair, P - 1)
     ar = jnp.clip(a, 0, T - 1)
 
@@ -217,10 +217,32 @@ def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
                           precision=jax.lax.Precision.HIGHEST)
 
     sh = (cap // score_chunk, score_chunk)
-    score = _bounded_chunk_loop(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
-                                           b.reshape(sh)),
-                                (sh[0], score_chunk), n,
-                                score_chunk).reshape(cap)
+    return _bounded_chunk_loop(chunk_fn, (pr.reshape(sh), ar.reshape(sh),
+                                          b.reshape(sh)),
+                               (sh[0], score_chunk), n,
+                               score_chunk).reshape(cap)
+
+
+def extract_runs_jax(th, s0, s1, prob_threshold, cap: int,
+                     score_chunk: int = 256):
+    """Fully in-jit run extraction over the window [s0, s1) of ``th``
+    [T, P]: level classification, boundary compaction, run bounds, and run
+    scores — no host round-trip (the synchronous count check + boundary
+    download of ``extract_segments_device`` cost ~0.4 s/flush on the
+    remote TPU link, DISPATCH_PROBE.json).
+
+    Returns (idx [cap] i32, lv [cap] u8, n i32, score [cap] f32,
+    pair [cap] i32, a [cap] i32, b [cap] i32). Entries past ``n`` have
+    idx == T*P and lv == 4 (callers mask on lv != 4); if n > cap the
+    results are truncated and the caller must re-extract with more cap.
+
+    Scores use the same chunked HIGHEST-precision indicator einsum as
+    ``extract_segments_device`` (identical numerics; the reference
+    accumulates in f32 too, HMM.cpp:1216-1222).
+    """
+    idx, lv, n, pair, a, b = _boundaries_runs_jax(th, s0, s1,
+                                                  prob_threshold, cap)
+    score = _run_scores_jax(th, pair, a, b, n, cap, score_chunk)
     return idx, lv, n, score, pair, a, b
 
 
@@ -314,22 +336,50 @@ def run_ages_jax(pps, expected_times, initial_state_prob,
     return jnp.stack([pm, mp])
 
 
+# raw-boundary headroom of the packed extraction: level boundaries are
+# detected with capacity RAW_FACTOR * cap, then only the KEPT (lv != 4)
+# runs — typically ~20% of boundaries on biobank panels — are compacted,
+# scored and packed. The host download shrinks ~3x (the link runs at
+# ~23 MB/s) and the score/pps einsums cover kept chunks only.
+RAW_FACTOR = 4
+
+
 def _extract_packed_impl(th, s0, s1, p, cap: int, posterior, pps_cap: int):
     import jax
     import jax.numpy as jnp
 
-    idx, lv, n, score, pair, a, b = extract_runs_jax(th, s0, s1, p, cap)
+    T, P = th.shape
+    rawcap = RAW_FACTOR * cap
+    idx, lv, n_raw, pair, a, b = _boundaries_runs_jax(th, s0, s1, p,
+                                                      rawcap)
+    # kept-run compaction: discarded (lv == 4) runs exist only to delimit
+    # the kept runs' ends, and b is already computed above — so only the
+    # kept runs are scored, pps-reduced and downloaded. Fill entries past
+    # n_raw have lv == 4, so the mask needs no explicit n_raw guard.
+    keep = lv != jnp.uint8(4)
+    n_kept = keep.sum().astype(jnp.int32)
+    (kidx,) = jnp.nonzero(keep, size=cap, fill_value=rawcap)
+    valid = kidx < rawcap
+    sel = jnp.minimum(kidx, rawcap - 1)
+    kstart = jnp.where(valid, idx[sel], T * P).astype(jnp.int32)
+    kpair = jnp.where(valid, pair[sel], P).astype(jnp.int32)
+    ka = jnp.where(valid, a[sel], 0).astype(jnp.int32)
+    kb = jnp.where(valid, b[sel], -1).astype(jnp.int32)
+    score = _run_scores_jax(th, kpair, ka, kb, n_kept, cap)
     # pack everything the drain needs into ONE i32 row so the host
     # downloads a whole flush group in a single transfer (each device_get
     # leaf costs a ~40+ ms round-trip on the remote link):
-    # [idx | lv << 28, bitcast(score), n]. Requires T*P < 2**28.
+    # [start (pair*T + a), b (inclusive, window-relative), bitcast(score),
+    # n_kept, n_raw] — length 3*cap + 2. Requires T*P < 2**28 (fill
+    # sentinel headroom).
     packed = jnp.concatenate([
-        idx | (lv.astype(jnp.int32) << 28),
+        kstart, kb,
         jax.lax.bitcast_convert_type(score, jnp.int32),
-        n[None]])
+        n_kept[None], n_raw[None]])
     if posterior is None:
         return packed, None
-    return packed, run_pps_jax(posterior, pair, a, b, pps_cap, n=n)
+    return packed, run_pps_jax(posterior, kpair, ka, kb, pps_cap,
+                               n=n_kept)
 
 
 _packed_jit = None
@@ -338,11 +388,11 @@ _packed_jit = None
 def extract_packed(th, s0, s1, prob_threshold, cap: int,
                    posterior=None, pps_cap: int = 0):
     """One async dispatch: in-jit run extraction on a device-resident
-    ``th`` [T, P], results packed into a single i32 row ([2*cap+1]:
-    idx|lv<<28, bitcast scores, n — unpack with
+    ``th`` [T, P], KEPT runs packed into a single i32 row ([3*cap+2]:
+    start, end, bitcast scores, n_kept, n_raw — unpack with
     :func:`unpack_extract_rows`). With ``posterior``, also returns the
-    per-run posterior-state sums [pps_cap, K(padded)] (rows past the run
-    count are garbage; callers gather only valid rows).
+    per-KEPT-run posterior-state sums [pps_cap, K(padded)] (rows past the
+    kept count are garbage; callers gather only valid rows).
 
     This is the device half of the pipeline's grouped validation flow:
     nothing is downloaded here — callers stack the group's rows
@@ -415,58 +465,59 @@ def stack_rows(rows):
 
 
 def unpack_extract_rows(packed_row: np.ndarray, cap: int):
-    """Host-side unpack of one :func:`extract_packed` row: returns
-    (idx [cap] i32, lv [cap] u8, score [cap] f32, n int)."""
-    enc = packed_row[:cap]
-    idx = enc & ((1 << 28) - 1)
-    lv = (enc >> 28).astype(np.uint8)
-    score = packed_row[cap:2 * cap].view(np.float32)
-    return idx, lv, score, int(packed_row[2 * cap])
+    """Host-side unpack of one :func:`extract_packed` row ([3*cap+2]
+    i32): returns (start [cap] i32 (pair*T + a), b [cap] i32 (inclusive
+    run end, window-relative), score [cap] f32, n_kept int, n_need int).
+    ``n_need`` is the cap that would have sufficed for this row —
+    ``max(n_kept, ceil(n_raw / RAW_FACTOR))`` — so a single
+    ``n_need > cap`` check detects truncation of EITHER the kept output
+    rows or the raw boundary pass (whose loss corrupts run ends)."""
+    start = packed_row[:cap]
+    b = packed_row[cap:2 * cap]
+    score = packed_row[2 * cap:3 * cap].view(np.float32)
+    n_kept = int(packed_row[3 * cap])
+    n_raw = int(packed_row[3 * cap + 1])
+    n_need = max(n_kept, -(-n_raw // RAW_FACTOR))
+    return start, b, score, n_kept, n_need
 
 
 def merge_packed_shards(mat: np.ndarray, T: int, P_local: int):
     """Merge the per-shard packed rows of a mesh-sharded fused extraction
-    (``ShardedDecoder.decode_extract_packed``): ``mat`` [S, 2*cap+1] i32.
+    (``ShardedDecoder.decode_extract_packed``): ``mat`` [S, 3*cap+2] i32.
 
     Shard ``s`` holds local pair indices over its slice of the pair axis;
-    offsetting its flat boundary indices by ``s * P_local * T`` and
+    offsetting its flat run starts by ``s * P_local * T`` and
     concatenating in shard order yields exactly the meshless extraction's
-    pair-major ascending boundary stream (shards partition the pair axis
-    contiguously and in order). Returns (idx int64 [n], lv [n], score [n],
-    ns) with ``ns`` the RAW per-shard boundary counts — any ``ns[s] >
+    pair-major ascending kept-run stream (shards partition the pair axis
+    contiguously and in order). Returns (start int64 [n], b [n], score
+    [n], ns_kept, ns_need) with per-shard counts — any ``ns_need[s] >
     cap`` means that shard's row was truncated and the batch must be
-    redone at a larger cap."""
+    redone at a larger cap; ``ns_kept`` sizes the shard's valid age
+    rows."""
     S = mat.shape[0]
-    cap = (mat.shape[1] - 1) // 2
+    cap = (mat.shape[1] - 2) // 3
     parts = []
-    ns = []
+    ns_kept, ns_need = [], []
     for s in range(S):
-        idx, lv, score, n = unpack_extract_rows(mat[s], cap)
-        ns.append(n)
-        k = min(n, cap)
-        parts.append((idx[:k].astype(np.int64) + s * P_local * T,
-                      lv[:k], score[:k]))
+        start, b, score, nk, nneed = unpack_extract_rows(mat[s], cap)
+        ns_kept.append(nk)
+        ns_need.append(nneed)
+        k = min(nk, cap)
+        parts.append((start[:k].astype(np.int64) + s * P_local * T,
+                      b[:k], score[:k]))
     return (np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]), ns)
+            np.concatenate([p[2] for p in parts]), ns_kept, ns_need)
 
 
-def runs_from_packed(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,
-                     n: int, T: int, s1: int):
-    """Array-only variant of :func:`segments_from_runs` (no per-run Python
-    objects — a biobank run has ~1e6 runs): returns (pair, a, b, score)
-    for the kept (lv != 4) runs, positions window-relative."""
-    idx = idx[:n]
-    lv = lv[:n]
-    score = score[:n]
-    pair = idx // T
-    a = idx % T
-    b = np.empty_like(a)
-    if n:
-        b[:-1] = np.where(pair[1:] == pair[:-1], a[1:] - 1, s1 - 1)
-        b[-1] = s1 - 1
-    keep = lv != 4
-    return pair[keep], a[keep], b[keep], score[keep]
+def runs_from_packed(start: np.ndarray, b: np.ndarray,
+                     score: np.ndarray, T: int):
+    """Array-only run columns from an unpacked (already kept-only,
+    already count-sliced) extraction row: returns (pair, a, b, score)
+    with positions window-relative. Run ends come from the device
+    (computed against the FULL boundary stream before discarded runs
+    were compacted away)."""
+    return start // T, start % T, b, score
 
 
 def segments_from_runs(idx: np.ndarray, lv: np.ndarray, score: np.ndarray,

@@ -112,7 +112,7 @@ class ShardedDecoder:
 
     # the pipeline's production grouped flow (decode+extract+ages fused
     # per batch) runs per shard under shard_map; packed rows come back
-    # [n_devices, 2*cap+1] and are merged on host at drain time
+    # [n_devices, 3*cap+2] and are merged on host at drain time
     supports_fused_extract = True
 
     @property
@@ -222,7 +222,7 @@ class ShardedDecoder:
     # fused decode + in-jit extraction (+ device age estimates): the
     # production validation flow, per shard under shard_map. Matches
     # PallasDecoder.decode_extract_packed except the packed row and age
-    # rows come back with a leading shard axis ([S, 2*cap+1] /
+    # rows come back with a leading shard axis ([S, 3*cap+2] /
     # [S, 2, capp]); segments.merge_packed_shards reassembles the global
     # pair-major boundary stream (shards partition the pair axis in
     # order, so concatenation preserves the reference emission order).
@@ -286,7 +286,7 @@ class ShardedDecoder:
                               initial_state_prob, need_ages: bool = True,
                               w0=None, w1=None):
         """Sharded mirror of ``PallasDecoder.decode_extract_packed``:
-        returns (packed [S, 2*cap+1] i32, ages [S, 2, min(cap, pps_cap)]
+        returns (packed [S, 3*cap+2] i32, ages [S, 2, min(cap, pps_cap)]
         f32 or None, threshold_sums [T, P] pair-sharded). Each shard
         extracts its own pairs with the full ``cap`` (run counts are not
         balanced across shards), so host-side cap-overflow checks apply

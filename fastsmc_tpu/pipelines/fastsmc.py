@@ -262,7 +262,8 @@ class FastSMC:
         self.stats = {"decoded_site_pairs": 0, "union_site_pairs": 0,
                       "cand_site_pairs": 0, "flushes": 0,
                       "overflow_redos": 0, "d2h_bytes": 0,
-                      "drain_wait_s": 0.0, "drain_host_s": 0.0}
+                      "drain_wait_s": 0.0, "drain_host_s": 0.0,
+                      "batcher_s": 0.0, "ckpt_s": 0.0}
 
     # ------------------------------------------------------------------
     def _open_writer(self, append: bool = False):
@@ -349,6 +350,8 @@ class FastSMC:
         ``bucket_sites`` floors the block size (windows below it share
         64-site-aligned blocks)."""
         bs = self.params.batch_size
+        t0 = time.perf_counter()
+        t_flush = 0.0
         kk, oo = self._canonical_windows(frm, to)
         key = (kk << 48) | oo
         order = np.argsort(key, kind="stable")
@@ -363,10 +366,17 @@ class FastSMC:
             while n >= bs:
                 cols = [np.concatenate([c_[j] for c_ in self._buckets[k]])
                         for j in range(4)]
+                tf = time.perf_counter()
                 self._flush_bucket([c[:bs] for c in cols], k)
+                t_flush += time.perf_counter() - tf
                 self._buckets[k] = [tuple(c[bs:] for c in cols)]
                 n -= bs
             self._bucket_n[k] = n
+        # host/link roofline (VERDICT r4 #4): pure batching CPU — window
+        # canonicalization + bucket bookkeeping, excluding the dispatch/
+        # drain work inside _flush_bucket (timed by the decode/segments/
+        # outputPerPair phases)
+        self.stats["batcher_s"] += time.perf_counter() - t0 - t_flush
 
     def _flush_bucket(self, cols, key: int):
         """Flush one canonical-window batch: decode bounds come from the
@@ -604,29 +614,29 @@ class FastSMC:
     def _unpack_entry(packed_i: np.ndarray, t_len: int, P: int):
         """Host unpack of one entry's packed extraction: flat row
         (PallasDecoder) or per-shard rows (ShardedDecoder). Returns
-        (idx, lv, score, ns) sliced to the valid boundary count; ``ns``
-        holds the RAW per-shard counts (> cap means truncated)."""
-        if packed_i.ndim == 2:                 # sharded [S, 2*cap+1]
+        (start, b, score, ns_kept, ns_need) sliced to the valid KEPT-run
+        count; any ``ns_need[s] > cap`` means truncation (of the kept
+        output rows or the raw boundary pass) and the batch must be
+        redone at a larger cap."""
+        if packed_i.ndim == 2:                 # sharded [S, 3*cap+2]
             return seg.merge_packed_shards(packed_i, t_len,
                                            P // packed_i.shape[0])
-        cap = (len(packed_i) - 1) // 2
-        idx, lv, score, nb = seg.unpack_extract_rows(packed_i, cap)
-        k = min(nb, cap)
-        return idx[:k], lv[:k], score[:k], [nb]
+        cap = (len(packed_i) - 2) // 3
+        start, b, score, nk, nneed = seg.unpack_extract_rows(packed_i, cap)
+        k = min(nk, cap)
+        return start[:k], b[:k], score[:k], [nk], [nneed]
 
     @staticmethod
-    def _merge_entry_ages(ages_i: np.ndarray, ns, kept: np.ndarray):
+    def _merge_entry_ages(ages_i: np.ndarray, ns_kept):
         """Device-computed age rows for one entry ([2, capp] flat or
-        [S, 2, capp] sharded) -> [2, n_kept] aligned with the kept-run
-        arrays (same order as the merged boundary stream)."""
+        [S, 2, capp] sharded) -> [2, n_kept] aligned 1:1 with the merged
+        kept-run arrays (extraction compacts kept runs on device)."""
         capp = ages_i.shape[-1]
         if ages_i.ndim == 3:
-            am = np.concatenate(
-                [ages_i[s][:, :min(ns[s], capp)]
+            return np.concatenate(
+                [ages_i[s][:, :min(ns_kept[s], capp)]
                  for s in range(ages_i.shape[0])], axis=1)
-        else:
-            am = ages_i[:, :min(ns[0], capp)]
-        return am[:, kept]
+        return ages_i[:, :min(ns_kept[0], capp)]
 
     def _drain_group(self):
         if self._gpending is None:
@@ -643,16 +653,16 @@ class FastSMC:
             packed = np.asarray(jax.device_get(res["packed"]))
             self.stats["d2h_bytes"] += packed.nbytes
             self.stats["drain_wait_s"] += time.perf_counter() - t_seg0
-            cap = (packed.shape[-1] - 1) // 2
+            cap = (packed.shape[-1] - 2) // 3
             pps_cap = res["pps"].shape[-1] if need_pps else 0
             rows = []
             per_batch: List = []
             pps_rows = []           # batch indices needing age rows
             for i, e in enumerate(entries):
-                idx_h, lv_i, score_h, ns = self._unpack_entry(
-                    packed[i], e["t_len"], e["P"])
-                rows.append((idx_h, lv_i, score_h, ns))
-                nb = max(ns)
+                start_h, b_h, score_h, ns_kept, ns_need = \
+                    self._unpack_entry(packed[i], e["t_len"], e["P"])
+                rows.append(ns_kept)
+                nb = max(ns_need)
                 if nb > cap or (need_pps and e["need_ages"]
                                 and nb > pps_cap):
                     per_batch.append(None)        # overflow: redo below
@@ -665,9 +675,8 @@ class FastSMC:
                 # array-only path: no per-run Python objects (both writers
                 # have write_block; ages attach as vectorised columns)
                 per_batch.append(("runs",) + seg.runs_from_packed(
-                    idx_h, lv_i, score_h, len(idx_h), e["t_len"],
-                    int(e["s1"])))
-                if e["need_ages"] and nb:
+                    start_h, b_h, score_h, e["t_len"]))
+                if e["need_ages"] and max(ns_kept):
                     pps_rows.append(i)
             ages = {}
             if pps_rows:
@@ -680,9 +689,7 @@ class FastSMC:
                 self.stats["d2h_bytes"] += ages_h.nbytes
                 self.stats["drain_wait_s"] += time.perf_counter() - t_w
                 for i in pps_rows:
-                    _, lv_i, _, ns = rows[i]
-                    kept = np.flatnonzero(lv_i != 4)
-                    ages[i] = self._merge_entry_ages(ages_h[i], ns, kept)
+                    ages[i] = self._merge_entry_ages(ages_h[i], rows[i])
             for i, e in enumerate(entries):
                 if per_batch[i] is None:          # overflow redo
                     per_batch[i], redo_ages = self._redo_entry(
@@ -745,10 +752,10 @@ class FastSMC:
             packed = np.asarray(jax.device_get(packed_d))
             self.stats["d2h_bytes"] += packed.nbytes
             self.stats["drain_wait_s"] += time.perf_counter() - t_w
-            cap = (packed.shape[-1] - 1) // 2
-            idx_h, lv_h, score_h, ns = self._unpack_entry(
+            cap = (packed.shape[-1] - 2) // 3
+            start_h, b_h, score_h, ns_kept, ns_need = self._unpack_entry(
                 packed, e["t_len"], e["P"])
-            nb = max(ns)
+            nb = max(ns_need)
             capp = ages_d.shape[-1] if ages_d is not None else nb
             if nb <= cap and nb <= capp:
                 break
@@ -756,16 +763,15 @@ class FastSMC:
                 self._seg_cap *= 2
             while ages_d is not None and self._pps_cap < nb:
                 self._pps_cap *= 2
-        runs = ("runs",) + seg.runs_from_packed(idx_h, lv_h, score_h,
-                                                len(idx_h), e["t_len"], s1)
+        runs = ("runs",) + seg.runs_from_packed(start_h, b_h, score_h,
+                                                e["t_len"])
         redo_ages = None
         if ages_d is not None:
             t_w = time.perf_counter()
             ages_h = np.asarray(jax.device_get(ages_d))
             self.stats["d2h_bytes"] += ages_h.nbytes
             self.stats["drain_wait_s"] += time.perf_counter() - t_w
-            kept = np.flatnonzero(lv_h != 4)
-            redo_ages = self._merge_entry_ages(ages_h, ns, kept)
+            redo_ages = self._merge_entry_ages(ages_h, ns_kept)
         return runs, redo_ages
 
     def _emit_runs(self, e, pair, a, b, score_sum, ages=None):
@@ -842,6 +848,7 @@ class FastSMC:
         back to the recorded offset, discarding any partially-written
         member."""
         import os
+        t0 = time.perf_counter()
         out = self.params.ibd_output_path()
         # reopening replaces the writer object: carry the roofline
         # counters so a checkpointed run reports its FULL fmt/deflate
@@ -858,6 +865,10 @@ class FastSMC:
         self._open_writer(append=True)
         self._writer.fmt_s = fmt_s
         self._writer.deflate_s = deflate_s
+        # checkpoint cost is mostly the writer close: it drains the
+        # background deflate queue (gzip member boundary), pulling any
+        # deflate backlog onto the main thread every 4th drain
+        self.stats["ckpt_s"] += time.perf_counter() - t0
 
     def _fill_pps(self, segs: List[seg.Segment], post, frm: int,
                   chunk: int = 256) -> None:
@@ -949,6 +960,8 @@ class FastSMC:
             "d2h_mb": round(st["d2h_bytes"] / 1e6, 1),
             "drain_wait_s": round(st["drain_wait_s"], 2),
             "drain_host_s": round(st["drain_host_s"], 2),
+            "batcher_s": round(st["batcher_s"], 2),
+            "ckpt_s": round(st["ckpt_s"], 2),
             "writer_fmt_s": round(getattr(w, "fmt_s", 0.0), 2),
             "writer_deflate_s": round(getattr(w, "deflate_s", 0.0), 2),
             "scan_thread_s": round(getattr(self, "_scan_thread_s", 0.0), 2),

@@ -629,11 +629,11 @@ def test_fastsmc_fused_overflow_redo(tiny_panel, repo_root, tmp_path,
             state = {"fired": False}
 
             def spy(row, cap):
-                idx, lv, score, n = orig(row, cap)
+                start, b, score, nk, nneed = orig(row, cap)
                 if not state["fired"]:
                     state["fired"] = True
-                    return idx, lv, score, cap + 1       # force redo
-                return idx, lv, score, n
+                    return start, b, score, nk, cap + 1  # force redo
+                return start, b, score, nk, nneed
 
             monkeypatch.setattr(seg, "unpack_extract_rows", spy)
         path = f.run(verbose=False)

@@ -139,8 +139,9 @@ def test_merge_packed_shards_equals_meshless():
 
     # meshless reference
     packed, _ = seg.extract_packed(jnp_asarray(th), s0, s1, prob, cap)
-    idx_w, lv_w, score_w, n_w = seg.unpack_extract_rows(
+    st_w, b_w, score_w, nk_w, nneed_w = seg.unpack_extract_rows(
         np.asarray(jax.device_get(packed)), cap)
+    assert nneed_w <= cap
 
     # per-shard rows, merged
     rows = []
@@ -149,12 +150,52 @@ def test_merge_packed_shards_equals_meshless():
         pk, _ = seg.extract_packed(jnp_asarray(th[:, s * Pl:(s + 1) * Pl]),
                                    s0, s1, prob, cap)
         rows.append(np.asarray(jax.device_get(pk)))
-    idx_m, lv_m, score_m, ns = seg.merge_packed_shards(
+    st_m, b_m, score_m, ns_kept, ns_need = seg.merge_packed_shards(
         np.stack(rows), T, Pl)
-    assert sum(ns) == n_w
-    np.testing.assert_array_equal(idx_m, idx_w[:n_w])
-    np.testing.assert_array_equal(lv_m, lv_w[:n_w])
-    np.testing.assert_allclose(score_m, score_w[:n_w], rtol=1e-6)
+    assert sum(ns_kept) == nk_w
+    assert max(ns_need) <= cap
+    np.testing.assert_array_equal(st_m, st_w[:nk_w])
+    np.testing.assert_array_equal(b_m, b_w[:nk_w])
+    np.testing.assert_allclose(score_m, score_w[:nk_w], rtol=1e-6)
+
+
+def test_packed_extraction_is_kept_compacted():
+    """The packed row must hold exactly the KEPT (lv != 4) runs of the
+    raw boundary stream, in order, with the run ends computed against
+    the FULL stream — i.e. device-side compaction is equivalent to the
+    host-side `lv != 4` filter over `extract_runs_jax` output."""
+    import jax
+    from fastsmc_tpu.engine import segments as seg
+
+    rng = np.random.default_rng(7)
+    T, P = 256, 24
+    cap = 4096
+    prob = 0.001
+    sums = (rng.random((T, P)) *
+            rng.choice([1e-6, 1e-2, 1e-1, 0.5, 1.0], size=(T, P))
+            ).astype(np.float32)
+    s0, s1 = 9, 230
+
+    idx, lv, n, score, pair, a, b = jax.jit(
+        seg.extract_runs_jax, static_argnums=(4,))(
+            sums, s0, s1, prob, seg.RAW_FACTOR * cap)
+    nb = int(n)
+    keep = np.asarray(lv)[:nb] != 4
+    want_start = np.asarray(idx)[:nb][keep]
+    want_b = np.asarray(b)[:nb][keep]
+    want_score = np.asarray(score)[:nb][keep]
+
+    packed, _ = seg.extract_packed(jnp_asarray(sums), s0, s1, prob, cap)
+    st, bb, sc, nk, nneed = seg.unpack_extract_rows(
+        np.asarray(jax.device_get(packed)), cap)
+    assert nk == keep.sum()
+    assert nneed == max(nk, -(-nb // seg.RAW_FACTOR))
+    np.testing.assert_array_equal(st[:nk], want_start)
+    np.testing.assert_array_equal(bb[:nk], want_b)
+    np.testing.assert_allclose(sc[:nk], want_score, rtol=1e-6)
+    pr, aa, bb2, sc2 = seg.runs_from_packed(st[:nk], bb[:nk], sc[:nk], T)
+    np.testing.assert_array_equal(pr, want_start // T)
+    np.testing.assert_array_equal(aa, want_start % T)
 
 
 def jnp_asarray(x):
