@@ -728,10 +728,12 @@ class PallasDecoder:
                                 jnp.asarray(t0, jnp.int32), int(t_len),
                                 outputs, int(state_threshold))
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 10, 11, 12, 13))
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 5, 6, 10, 11, 12, 13, 14))
     def _decode_extract_jit(self, tables, hap_bits, hap_a, hap_b,
                             t_len: int, state_threshold: int, t0, s0, s1,
-                            cap: int, pps_cap: int, age_threshold: int,
+                            cap: int, pps_cap: int, kcap: int,
+                            age_threshold: int,
                             need_ages: bool, prob_threshold, isp_raw,
                             w0=None, w1=None):
         from . import segments as seg
@@ -753,7 +755,7 @@ class PallasDecoder:
             th = jnp.where(in_win, th, jnp.float32(-1.0))
         packed, pps = seg._extract_packed_impl(
             th, s0, s1, prob_threshold, cap,
-            r["posterior"] if need_ages else None, pps_cap)
+            r["posterior"] if need_ages else None, pps_cap, kcap)
         if not need_ages:
             return packed, None, r["threshold_sums"]
         exp = tables["exp"].reshape(-1)[:self.K]
@@ -764,7 +766,7 @@ class PallasDecoder:
                               state_threshold: int, s0, s1, prob_threshold,
                               cap: int, pps_cap: int, age_threshold: int,
                               initial_state_prob, need_ages: bool = True,
-                              w0=None, w1=None):
+                              w0=None, w1=None, kcap: int = 0):
         """One program: decode + in-jit run extraction (+ per-run posterior
         sums + per-run age estimates when ``need_ages``). Fusing keeps the
         [T, K, P] posterior a program-INTERNAL temp — as
@@ -777,18 +779,22 @@ class PallasDecoder:
         downloading 2 scalars/run instead of K posterior sums is the
         difference between ~0.5 and ~5 MB per batch.
 
-        Returns (packed row [3*cap+2] i32 — device-compacted KEPT runs:
-        start, end, score, n_kept, n_raw —, ages [2, min(cap, pps_cap)]
+        Returns (packed row [3*kcap+2] i32 — device-compacted KEPT runs:
+        start, end, score, n_kept, n_raw —, ages [2, min(kcap, pps_cap)]
         f32 (posterior-mean row, MAP row) or None when not need_ages,
-        threshold_sums [T, P])."""
+        threshold_sums [T, P]). ``cap`` bounds the raw boundary pass,
+        ``kcap`` (default ``cap``) the kept output rows."""
         T, P = int(t_len), len(hap_a)
         if T * P >= 1 << 28:
             raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
                              "boundary encoding")
-        if cap <= 0 or cap % 256 or pps_cap <= 0 or pps_cap % 256:
-            raise ValueError(f"cap={cap}/pps_cap={pps_cap} must be "
-                             "positive multiples of 256")
-        pps_cap = min(pps_cap, cap)
+        kcap = kcap or cap
+        if cap <= 0 or cap % 256 or pps_cap <= 0 or pps_cap % 256 \
+                or kcap % 256 or kcap > cap:
+            raise ValueError(f"cap={cap}/kcap={kcap}/pps_cap={pps_cap} "
+                             "must be positive multiples of 256 with "
+                             "kcap <= cap")
+        pps_cap = min(pps_cap, kcap)
         if w0 is not None:
             w0 = jnp.asarray(w0, jnp.int32)
             w1 = jnp.asarray(w1, jnp.int32)
@@ -797,7 +803,7 @@ class PallasDecoder:
             jnp.asarray(hap_b), int(t_len), int(state_threshold),
             jnp.asarray(t0, jnp.int32), jnp.asarray(s0, jnp.int32),
             jnp.asarray(s1, jnp.int32), int(cap), int(pps_cap),
-            int(age_threshold), bool(need_ages),
+            int(kcap), int(age_threshold), bool(need_ages),
             jnp.asarray(prob_threshold, jnp.float32),
             jnp.asarray(initial_state_prob, jnp.float32),
             w0=w0, w1=w1)

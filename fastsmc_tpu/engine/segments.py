@@ -336,41 +336,40 @@ def run_ages_jax(pps, expected_times, initial_state_prob,
     return jnp.stack([pm, mp])
 
 
-# raw-boundary headroom of the packed extraction: level boundaries are
-# detected with capacity RAW_FACTOR * cap, then only the KEPT (lv != 4)
-# runs — typically ~20% of boundaries on biobank panels — are compacted,
-# scored and packed. The host download shrinks ~3x (the link runs at
-# ~23 MB/s) and the score/pps einsums cover kept chunks only.
-RAW_FACTOR = 4
-
-
-def _extract_packed_impl(th, s0, s1, p, cap: int, posterior, pps_cap: int):
+def _extract_packed_impl(th, s0, s1, p, cap: int, posterior, pps_cap: int,
+                         kcap: int = 0):
+    """``cap`` bounds the RAW boundary pass (every level change, sticky
+    on the worst flush exactly like round 4); ``kcap`` (default ``cap``)
+    bounds the KEPT (lv != 4) output rows — typically ~20-40% of the
+    boundaries on biobank panels, so the downloaded row and the
+    score/pps einsums shrink accordingly while the boundary-compaction
+    nonzero sizes stay raw-count-driven (growing them 4x for headroom
+    measurably slowed the extraction program on chip)."""
     import jax
     import jax.numpy as jnp
 
     T, P = th.shape
-    rawcap = RAW_FACTOR * cap
-    idx, lv, n_raw, pair, a, b = _boundaries_runs_jax(th, s0, s1, p,
-                                                      rawcap)
+    kcap = kcap or cap
+    idx, lv, n_raw, pair, a, b = _boundaries_runs_jax(th, s0, s1, p, cap)
     # kept-run compaction: discarded (lv == 4) runs exist only to delimit
     # the kept runs' ends, and b is already computed above — so only the
     # kept runs are scored, pps-reduced and downloaded. Fill entries past
     # n_raw have lv == 4, so the mask needs no explicit n_raw guard.
     keep = lv != jnp.uint8(4)
     n_kept = keep.sum().astype(jnp.int32)
-    (kidx,) = jnp.nonzero(keep, size=cap, fill_value=rawcap)
-    valid = kidx < rawcap
-    sel = jnp.minimum(kidx, rawcap - 1)
+    (kidx,) = jnp.nonzero(keep, size=kcap, fill_value=cap)
+    valid = kidx < cap
+    sel = jnp.minimum(kidx, cap - 1)
     kstart = jnp.where(valid, idx[sel], T * P).astype(jnp.int32)
     kpair = jnp.where(valid, pair[sel], P).astype(jnp.int32)
     ka = jnp.where(valid, a[sel], 0).astype(jnp.int32)
     kb = jnp.where(valid, b[sel], -1).astype(jnp.int32)
-    score = _run_scores_jax(th, kpair, ka, kb, n_kept, cap)
+    score = _run_scores_jax(th, kpair, ka, kb, n_kept, kcap)
     # pack everything the drain needs into ONE i32 row so the host
     # downloads a whole flush group in a single transfer (each device_get
     # leaf costs a ~40+ ms round-trip on the remote link):
     # [start (pair*T + a), b (inclusive, window-relative), bitcast(score),
-    # n_kept, n_raw] — length 3*cap + 2. Requires T*P < 2**28 (fill
+    # n_kept, n_raw] — length 3*kcap + 2. Requires T*P < 2**28 (fill
     # sentinel headroom).
     packed = jnp.concatenate([
         kstart, kb,
@@ -386,13 +385,15 @@ _packed_jit = None
 
 
 def extract_packed(th, s0, s1, prob_threshold, cap: int,
-                   posterior=None, pps_cap: int = 0):
+                   posterior=None, pps_cap: int = 0, kcap: int = 0):
     """One async dispatch: in-jit run extraction on a device-resident
-    ``th`` [T, P], KEPT runs packed into a single i32 row ([3*cap+2]:
+    ``th`` [T, P], KEPT runs packed into a single i32 row ([3*kcap+2]:
     start, end, bitcast scores, n_kept, n_raw — unpack with
-    :func:`unpack_extract_rows`). With ``posterior``, also returns the
-    per-KEPT-run posterior-state sums [pps_cap, K(padded)] (rows past the
-    kept count are garbage; callers gather only valid rows).
+    :func:`unpack_extract_rows`). ``cap`` bounds the raw boundary pass,
+    ``kcap`` (default ``cap``) the kept output rows. With ``posterior``,
+    also returns the per-KEPT-run posterior-state sums [pps_cap,
+    K(padded)] (rows past the kept count are garbage; callers gather
+    only valid rows).
 
     This is the device half of the pipeline's grouped validation flow:
     nothing is downloaded here — callers stack the group's rows
@@ -408,23 +409,25 @@ def extract_packed(th, s0, s1, prob_threshold, cap: int,
     if T * P >= 1 << 28:
         raise ValueError(f"T*P = {T * P} >= 2**28 overflows the packed "
                          "boundary encoding")
-    if cap <= 0 or cap % 256:
-        raise ValueError(f"cap={cap} must be a positive multiple of 256 "
+    kcap = kcap or cap
+    if cap <= 0 or cap % 256 or kcap % 256 or kcap > cap:
+        raise ValueError(f"cap={cap}/kcap={kcap} must be positive "
+                         "multiples of 256 with kcap <= cap "
                          "(score-chunk reshape)")
     if posterior is not None and (pps_cap <= 0 or pps_cap % 256):
         raise ValueError(f"pps_cap={pps_cap} must be a positive multiple "
                          "of 256 (pps-chunk reshape)")
-    # at most ``cap`` runs can be extracted, so pps rows beyond cap are
-    # unreachable; clamping keeps the caps independently sized without the
-    # run arrays (length cap) ever underfilling the pps reshape
-    pps_cap = min(pps_cap, cap)
+    # at most ``kcap`` kept runs can be emitted, so pps rows beyond kcap
+    # are unreachable; clamping keeps the caps independently sized without
+    # the run arrays (length kcap) ever underfilling the pps reshape
+    pps_cap = min(pps_cap, kcap)
     if _packed_jit is None:
         _packed_jit = jax.jit(_extract_packed_impl,
-                              static_argnums=(4, 6))
+                              static_argnums=(4, 6, 7))
     return _packed_jit(th, jnp.asarray(s0, jnp.int32),
                        jnp.asarray(s1, jnp.int32),
                        jnp.asarray(prob_threshold, jnp.float32),
-                       int(cap), posterior, int(pps_cap))
+                       int(cap), posterior, int(pps_cap), int(kcap))
 
 
 _mask_jit = None
@@ -464,50 +467,48 @@ def stack_rows(rows):
     return _stack_jit(tuple(rows))
 
 
-def unpack_extract_rows(packed_row: np.ndarray, cap: int):
-    """Host-side unpack of one :func:`extract_packed` row ([3*cap+2]
-    i32): returns (start [cap] i32 (pair*T + a), b [cap] i32 (inclusive
-    run end, window-relative), score [cap] f32, n_kept int, n_need int).
-    ``n_need`` is the cap that would have sufficed for this row —
-    ``max(n_kept, ceil(n_raw / RAW_FACTOR))`` — so a single
-    ``n_need > cap`` check detects truncation of EITHER the kept output
-    rows or the raw boundary pass (whose loss corrupts run ends)."""
-    start = packed_row[:cap]
-    b = packed_row[cap:2 * cap]
-    score = packed_row[2 * cap:3 * cap].view(np.float32)
-    n_kept = int(packed_row[3 * cap])
-    n_raw = int(packed_row[3 * cap + 1])
-    n_need = max(n_kept, -(-n_raw // RAW_FACTOR))
-    return start, b, score, n_kept, n_need
+def unpack_extract_rows(packed_row: np.ndarray, kcap: int):
+    """Host-side unpack of one :func:`extract_packed` row ([3*kcap+2]
+    i32): returns (start [kcap] i32 (pair*T + a), b [kcap] i32
+    (inclusive run end, window-relative), score [kcap] f32, n_kept int,
+    n_raw int). ``n_kept > kcap`` means the kept output rows truncated;
+    ``n_raw`` exceeding the RAW cap the row was extracted with means the
+    boundary pass truncated (which corrupts run ends) — the caller must
+    redo at grown caps in either case."""
+    start = packed_row[:kcap]
+    b = packed_row[kcap:2 * kcap]
+    score = packed_row[2 * kcap:3 * kcap].view(np.float32)
+    return (start, b, score, int(packed_row[3 * kcap]),
+            int(packed_row[3 * kcap + 1]))
 
 
 def merge_packed_shards(mat: np.ndarray, T: int, P_local: int):
     """Merge the per-shard packed rows of a mesh-sharded fused extraction
-    (``ShardedDecoder.decode_extract_packed``): ``mat`` [S, 3*cap+2] i32.
+    (``ShardedDecoder.decode_extract_packed``): ``mat`` [S, 3*kcap+2] i32.
 
     Shard ``s`` holds local pair indices over its slice of the pair axis;
     offsetting its flat run starts by ``s * P_local * T`` and
     concatenating in shard order yields exactly the meshless extraction's
     pair-major ascending kept-run stream (shards partition the pair axis
     contiguously and in order). Returns (start int64 [n], b [n], score
-    [n], ns_kept, ns_need) with per-shard counts — any ``ns_need[s] >
-    cap`` means that shard's row was truncated and the batch must be
-    redone at a larger cap; ``ns_kept`` sizes the shard's valid age
-    rows."""
+    [n], ns_kept, ns_raw) with per-shard counts — ``ns_kept[s] > kcap``
+    (or ``ns_raw[s]`` over the raw cap) means that shard's row was
+    truncated and the batch must be redone at larger caps; ``ns_kept``
+    sizes the shard's valid age rows."""
     S = mat.shape[0]
-    cap = (mat.shape[1] - 2) // 3
+    kcap = (mat.shape[1] - 2) // 3
     parts = []
-    ns_kept, ns_need = [], []
+    ns_kept, ns_raw = [], []
     for s in range(S):
-        start, b, score, nk, nneed = unpack_extract_rows(mat[s], cap)
+        start, b, score, nk, nr = unpack_extract_rows(mat[s], kcap)
         ns_kept.append(nk)
-        ns_need.append(nneed)
-        k = min(nk, cap)
+        ns_raw.append(nr)
+        k = min(nk, kcap)
         parts.append((start[:k].astype(np.int64) + s * P_local * T,
                       b[:k], score[:k]))
     return (np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]), ns_kept, ns_need)
+            np.concatenate([p[2] for p in parts]), ns_kept, ns_raw)
 
 
 def runs_from_packed(start: np.ndarray, b: np.ndarray,

@@ -228,9 +228,9 @@ class ShardedDecoder:
     # order, so concatenation preserves the reference emission order).
     # ------------------------------------------------------------------
     @functools.partial(jax.jit,
-                       static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
+                       static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12))
     def _dep_jit(self, tables, hap_bits, hap_a, hap_b, t_len: int,
-                 state_threshold: int, cap: int, pps_cap: int,
+                 state_threshold: int, cap: int, pps_cap: int, kcap: int,
                  age_threshold: int, need_ages: bool, t0_static: int,
                  scalars=None, w0=None, w1=None):
         from ..engine import segments as seg
@@ -260,7 +260,7 @@ class ShardedDecoder:
                 th = jnp.where(in_win, th, jnp.float32(-1.0))
             packed, pps = seg._extract_packed_impl(
                 th, s0, s1, pthr, cap,
-                r["posterior"] if need_ages else None, pps_cap)
+                r["posterior"] if need_ages else None, pps_cap, kcap)
             if not need_ages:
                 return packed[None], r["threshold_sums"]
             ages = seg.run_ages_jax(pps, exp, isp, age_threshold)
@@ -284,13 +284,13 @@ class ShardedDecoder:
                               state_threshold: int, s0, s1, prob_threshold,
                               cap: int, pps_cap: int, age_threshold: int,
                               initial_state_prob, need_ages: bool = True,
-                              w0=None, w1=None):
+                              w0=None, w1=None, kcap: int = 0):
         """Sharded mirror of ``PallasDecoder.decode_extract_packed``:
-        returns (packed [S, 3*cap+2] i32, ages [S, 2, min(cap, pps_cap)]
-        f32 or None, threshold_sums [T, P] pair-sharded). Each shard
-        extracts its own pairs with the full ``cap`` (run counts are not
-        balanced across shards), so host-side cap-overflow checks apply
-        per shard."""
+        returns (packed [S, 3*kcap+2] i32, ages [S, 2, min(kcap,
+        pps_cap)] f32 or None, threshold_sums [T, P] pair-sharded). Each
+        shard extracts its own pairs with the full ``cap``/``kcap`` (run
+        counts are not balanced across shards), so host-side cap-overflow
+        checks apply per shard."""
         P_global = int(np.shape(hap_a)[0])
         if P_global % self.n_devices != 0:
             raise ValueError(
@@ -300,10 +300,13 @@ class ShardedDecoder:
         if T * P_local >= 1 << 28:
             raise ValueError(f"T*P_local = {T * P_local} >= 2**28 "
                              "overflows the packed boundary encoding")
-        if cap <= 0 or cap % 256 or pps_cap <= 0 or pps_cap % 256:
-            raise ValueError(f"cap={cap}/pps_cap={pps_cap} must be "
-                             "positive multiples of 256")
-        pps_cap = min(pps_cap, cap)
+        kcap = kcap or cap
+        if cap <= 0 or cap % 256 or pps_cap <= 0 or pps_cap % 256 \
+                or kcap % 256 or kcap > cap:
+            raise ValueError(f"cap={cap}/kcap={kcap}/pps_cap={pps_cap} "
+                             "must be positive multiples of 256 with "
+                             "kcap <= cap")
+        pps_cap = min(pps_cap, kcap)
         tables = self.dec._tables() if self._use_pallas else {}
         import jax.numpy as jnp
         scalars = (jnp.asarray(t0, jnp.int32), jnp.asarray(s0, jnp.int32),
@@ -316,7 +319,7 @@ class ShardedDecoder:
         res = self._dep_jit(tables, self.dec.hap_bits,
                             jnp.asarray(hap_a), jnp.asarray(hap_b),
                             int(t_len), int(state_threshold), int(cap),
-                            int(pps_cap), int(age_threshold),
+                            int(pps_cap), int(kcap), int(age_threshold),
                             bool(need_ages),
                             0 if self._use_pallas else int(t0),
                             scalars=scalars, w0=w0, w1=w1)

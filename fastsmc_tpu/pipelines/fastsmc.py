@@ -207,6 +207,11 @@ class FastSMC:
         # caps must be positive multiples of 256 (the fused extraction's
         # score-chunk reshape), and batch_size is only validated to % 8
         self._seg_cap = bucket_len(max(4096, bs), 256) if _ages else 4096
+        # kept-run output capacity (downloaded rows + score/pps work):
+        # kept runs are typically ~20-40% of the raw boundaries, so the
+        # kept cap grows on its own (smaller) worst case; invariant
+        # _kept_cap <= _seg_cap (the raw pass bounds what can be kept)
+        self._kept_cap = 4096
         # deferred host finish: while batch N's decode runs on device, the
         # host processes batch N-1's extraction/emit, keeping the device
         # busy (execution is in-order, so deferring never reorders results)
@@ -581,6 +586,10 @@ class FastSMC:
         # same call serves PallasDecoder (flat packed rows) and
         # ShardedDecoder (per-shard rows merged at drain time).
         ths, packs, ppss = [], [], []
+        # the raw pass bounds what can be kept; clamping (rather than an
+        # invariant on the attributes) keeps externally-tweaked caps
+        # (tests, tuning) legal
+        kcap = min(self._kept_cap, self._seg_cap)
         with self.timer.phase("decode"):
             for e in entries:
                 packed, ages_rows, th = self.decoder.decode_extract_packed(
@@ -590,13 +599,16 @@ class FastSMC:
                     self._seg_cap, self._pps_cap, self.age_threshold,
                     self.dq.initial_state_prob,
                     need_ages=e["need_ages"],
-                    w0=e["w0"], w1=e["w1"])
+                    w0=e["w0"], w1=e["w1"], kcap=kcap)
                 ths.append(th)
                 packs.append(packed)
                 ppss.append(ages_rows)
             res = {"th": ths,
                    "packed": seg.stack_rows(packs),
-                   "pps": seg.stack_rows(ppss) if need_pps else None}
+                   "pps": seg.stack_rows(ppss) if need_pps else None,
+                   # dispatch-time caps: overflow checks at drain time
+                   # must compare against what THIS group extracted with
+                   "caps": (self._seg_cap, kcap)}
             # start BOTH D2H copies now: a device op issued at drain time
             # (e.g. a pps row gather) would queue behind the NEXT group's
             # programs in the in-order stream and block the drain for a
@@ -653,24 +665,29 @@ class FastSMC:
             packed = np.asarray(jax.device_get(res["packed"]))
             self.stats["d2h_bytes"] += packed.nbytes
             self.stats["drain_wait_s"] += time.perf_counter() - t_seg0
-            cap = (packed.shape[-1] - 2) // 3
+            raw_cap, kcap = res["caps"]
             pps_cap = res["pps"].shape[-1] if need_pps else 0
             rows = []
             per_batch: List = []
             pps_rows = []           # batch indices needing age rows
             for i, e in enumerate(entries):
-                start_h, b_h, score_h, ns_kept, ns_need = \
+                start_h, b_h, score_h, ns_kept, ns_raw = \
                     self._unpack_entry(packed[i], e["t_len"], e["P"])
                 rows.append(ns_kept)
-                nb = max(ns_need)
-                if nb > cap or (need_pps and e["need_ages"]
-                                and nb > pps_cap):
+                nk, nr = max(ns_kept), max(ns_raw)
+                if nr > raw_cap or nk > kcap \
+                        or (need_pps and e["need_ages"]
+                            and nk > pps_cap):
                     per_batch.append(None)        # overflow: redo below
                     self.stats["overflow_redos"] += 1
-                    while self._seg_cap < nb:
+                    while self._seg_cap < nr:
                         self._seg_cap *= 2
-                    while need_pps and self._pps_cap < nb:
+                    while self._kept_cap < nk:
+                        self._kept_cap *= 2
+                    while need_pps and self._pps_cap < nk:
                         self._pps_cap *= 2
+                    if self._kept_cap > self._seg_cap:
+                        self._seg_cap = self._kept_cap
                     continue
                 # array-only path: no per-run Python objects (both writers
                 # have write_block; ages attach as vectorised columns)
@@ -732,37 +749,45 @@ class FastSMC:
         import jax
         s0, s1 = int(e["s0"]), int(e["s1"])
         while True:
+            raw_cap = self._seg_cap
+            kcap = min(self._kept_cap, raw_cap)
             if e["need_ages"]:
                 packed_d, ages_d, _ = self.decoder.decode_extract_packed(
                     e["hap1"], e["hap2"], e["frm"], e["t_len"],
                     self.state_threshold, s0, s1, self.prob_threshold,
-                    self._seg_cap, self._pps_cap, self.age_threshold,
+                    raw_cap, self._pps_cap, self.age_threshold,
                     self.dq.initial_state_prob, need_ages=True,
-                    w0=e["w0"], w1=e["w1"])
+                    w0=e["w0"], w1=e["w1"], kcap=kcap)
             else:
                 # re-extract only: the saved threshold sums already hold
                 # the decode result
                 th_m = th if e["w0"] is None else \
                     seg.mask_window(th, e["w0"], e["w1"])
                 packed_d, _ = seg.extract_packed(
-                    th_m, s0, s1, self.prob_threshold, self._seg_cap,
-                    None, 0)
+                    th_m, s0, s1, self.prob_threshold, raw_cap,
+                    None, 0, kcap=kcap)
                 ages_d = None
             t_w = time.perf_counter()
             packed = np.asarray(jax.device_get(packed_d))
             self.stats["d2h_bytes"] += packed.nbytes
             self.stats["drain_wait_s"] += time.perf_counter() - t_w
-            cap = (packed.shape[-1] - 2) // 3
-            start_h, b_h, score_h, ns_kept, ns_need = self._unpack_entry(
+            start_h, b_h, score_h, ns_kept, ns_raw = self._unpack_entry(
                 packed, e["t_len"], e["P"])
-            nb = max(ns_need)
-            capp = ages_d.shape[-1] if ages_d is not None else nb
-            if nb <= cap and nb <= capp:
+            nk, nr = max(ns_kept), max(ns_raw)
+            capp = ages_d.shape[-1] if ages_d is not None else nk
+            if nr <= raw_cap and nk <= kcap and nk <= capp:
                 break
-            while self._seg_cap < nb:
+            while self._seg_cap < nr:
                 self._seg_cap *= 2
-            while ages_d is not None and self._pps_cap < nb:
+            while self._kept_cap < nk:
+                self._kept_cap *= 2
+            while ages_d is not None and self._pps_cap < nk:
                 self._pps_cap *= 2
+            # the effective kept cap is min(kept, raw): when the raw cap
+            # is the binding side (e.g. externally shrunk), it must grow
+            # too or the retry loop cannot make progress
+            while min(self._kept_cap, self._seg_cap) < nk:
+                self._seg_cap *= 2
         runs = ("runs",) + seg.runs_from_packed(start_h, b_h, score_h,
                                                 e["t_len"])
         redo_ages = None

@@ -177,8 +177,7 @@ def test_packed_extraction_is_kept_compacted():
     s0, s1 = 9, 230
 
     idx, lv, n, score, pair, a, b = jax.jit(
-        seg.extract_runs_jax, static_argnums=(4,))(
-            sums, s0, s1, prob, seg.RAW_FACTOR * cap)
+        seg.extract_runs_jax, static_argnums=(4,))(sums, s0, s1, prob, cap)
     nb = int(n)
     keep = np.asarray(lv)[:nb] != 4
     want_start = np.asarray(idx)[:nb][keep]
@@ -186,16 +185,29 @@ def test_packed_extraction_is_kept_compacted():
     want_score = np.asarray(score)[:nb][keep]
 
     packed, _ = seg.extract_packed(jnp_asarray(sums), s0, s1, prob, cap)
-    st, bb, sc, nk, nneed = seg.unpack_extract_rows(
+    st, bb, sc, nk, nr = seg.unpack_extract_rows(
         np.asarray(jax.device_get(packed)), cap)
     assert nk == keep.sum()
-    assert nneed == max(nk, -(-nb // seg.RAW_FACTOR))
+    assert nr == nb
     np.testing.assert_array_equal(st[:nk], want_start)
     np.testing.assert_array_equal(bb[:nk], want_b)
     np.testing.assert_allclose(sc[:nk], want_score, rtol=1e-6)
     pr, aa, bb2, sc2 = seg.runs_from_packed(st[:nk], bb[:nk], sc[:nk], T)
     np.testing.assert_array_equal(pr, want_start // T)
     np.testing.assert_array_equal(aa, want_start % T)
+
+    # independent (smaller) kept cap: same kept stream, shorter row
+    kcap = 3072
+    assert nk <= kcap < cap
+    packed2, _ = seg.extract_packed(jnp_asarray(sums), s0, s1, prob, cap,
+                                    kcap=kcap)
+    row2 = np.asarray(jax.device_get(packed2))
+    assert len(row2) == 3 * kcap + 2
+    st2, bb2_, sc2_, nk2, nr2 = seg.unpack_extract_rows(row2, kcap)
+    assert (nk2, nr2) == (nk, nr)
+    np.testing.assert_array_equal(st2[:nk], want_start)
+    np.testing.assert_array_equal(bb2_[:nk], want_b)
+    np.testing.assert_allclose(sc2_[:nk], want_score, rtol=1e-6)
 
 
 def jnp_asarray(x):
