@@ -83,13 +83,27 @@ class IbdTextWriter:
 
     def _deflate_loop(self):
         import time as _time
+        from ..native import format_ibd
         while True:
             item = self._q.get()
             try:
                 if item is None:
                     return
+                if isinstance(item, tuple):
+                    # deferred bulk format: the native %.7g formatter is
+                    # ~2 us/record of MAIN-thread time (18 s per 98k-hap
+                    # ages run) — ctypes releases the GIL, so formatting
+                    # joins deflate on this thread instead
+                    (i1, h1, i2, h2, ps, pe, lcm, sc, pest, mest) = item
+                    t0 = _time.perf_counter()
+                    buf = format_ibd(self._id_blob, self._id_off, i1, h1,
+                                     i2, h2, ps, pe, lcm, sc,
+                                     str(self.chr), pest, mest)
+                    self.fmt_s += _time.perf_counter() - t0
+                else:
+                    buf = item
                 t0 = _time.perf_counter()
-                self._f.buffer.write(item)
+                self._f.buffer.write(buf)
                 self.deflate_s += _time.perf_counter() - t0
             except BaseException as e:      # surfaced on the main thread
                 self._thr_err = e
@@ -134,34 +148,40 @@ class IbdTextWriter:
         n = len(ind1)
         if n == 0:
             return
-        _t0 = _time.perf_counter()
-        from ..native import format_ibd
-        if self._id_blob is None:
-            off = [0]
-            blob = bytearray()
-            for f_, i_ in zip(self.fam, self.iid):
-                blob += f"{f_}\t{i_}".encode() + b"\0"
-                off.append(len(blob))
-            self._id_blob = bytes(blob)
-            self._id_off = np.asarray(off, np.int32)
-        buf = format_ibd(self._id_blob, self._id_off, ind1, hap1, ind2,
-                         hap2, pos_start, pos_end, length_cm, score,
-                         str(self.chr), post_est, map_est)
-        if buf is not None:
-            self.fmt_s += _time.perf_counter() - _t0
+        from ..native import format_ibd, get_lib
+        if get_lib() is not None:
+            if self._id_blob is None:
+                off = [0]
+                blob = bytearray()
+                for f_, i_ in zip(self.fam, self.iid):
+                    blob += f"{f_}\t{i_}".encode() + b"\0"
+                    off.append(len(blob))
+                self._id_blob = bytes(blob)
+                self._id_off = np.asarray(off, np.int32)
             if self._text_dirty:
                 # order text-wrapper bytes before ours; skipping the flush
                 # when clean avoids a Z_SYNC_FLUSH per flushed batch
                 self._f.flush()
                 self._text_dirty = False
             if self._q is not None:
+                # format AND deflate on the writer thread (both release
+                # the GIL); the column arrays are never mutated after
+                # emit, so referencing them is safe. FIFO order with
+                # direct writes is preserved by _sync_q.
                 if self._thr_err is not None:
                     raise self._thr_err
-                self._q.put(buf)
-            else:
-                _t0 = _time.perf_counter()
-                self._f.buffer.write(buf)
-                self.deflate_s += _time.perf_counter() - _t0
+                self._q.put((ind1, hap1, ind2, hap2, pos_start, pos_end,
+                             length_cm, score, post_est, map_est))
+                self.n_written += n
+                return
+            _t0 = _time.perf_counter()
+            buf = format_ibd(self._id_blob, self._id_off, ind1, hap1,
+                             ind2, hap2, pos_start, pos_end, length_cm,
+                             score, str(self.chr), post_est, map_est)
+            self.fmt_s += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            self._f.buffer.write(buf)
+            self.deflate_s += _time.perf_counter() - _t0
             self.n_written += n
             return
         fam, iid, ch = self.fam, self.iid, str(self.chr)
