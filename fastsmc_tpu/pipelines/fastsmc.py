@@ -727,13 +727,16 @@ class FastSMC:
                     self._emit(segs, e["hap1"], e["hap2"])
                 done_idx = e["idx"]
         if done_idx is not None:
-            # checkpointing closes + reopens the gzip member; once per
-            # drain is overhead at biobank group counts, and resume only
-            # replays the candidate stream (cheap), so every 4th drain
-            # is plenty. run() writes a final checkpoint-free close.
+            # checkpointing closes + reopens the gzip member, which must
+            # drain the writer thread's format+deflate backlog onto the
+            # critical path — at 98k-hap density that wait measured
+            # ~0.8 s per checkpoint (ckpt_s roofline term), so every
+            # 16th drain balances resume granularity against it. resume
+            # only replays the candidate stream (cheap). run() writes a
+            # final checkpoint-free close.
             self._drains_since_ckpt = getattr(self, "_drains_since_ckpt",
                                               0) + 1
-            if self._drains_since_ckpt >= 4:
+            if self._drains_since_ckpt >= 16:
                 self._drains_since_ckpt = 0
                 self._write_progress(done_idx)
 
