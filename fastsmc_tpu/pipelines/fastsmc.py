@@ -626,17 +626,17 @@ class FastSMC:
     def _unpack_entry(packed_i: np.ndarray, t_len: int, P: int):
         """Host unpack of one entry's packed extraction: flat row
         (PallasDecoder) or per-shard rows (ShardedDecoder). Returns
-        (start, b, score, ns_kept, ns_need) sliced to the valid KEPT-run
-        count; any ``ns_need[s] > cap`` means truncation (of the kept
-        output rows or the raw boundary pass) and the batch must be
-        redone at a larger cap."""
-        if packed_i.ndim == 2:                 # sharded [S, 3*cap+2]
+        (start, b, score, ns_kept, ns_raw) sliced to the valid KEPT-run
+        count; ``ns_kept[s]`` over the kept cap or ``ns_raw[s]`` over the
+        raw cap means truncation and the batch must be redone at grown
+        caps."""
+        if packed_i.ndim == 2:                 # sharded [S, 3*kcap+2]
             return seg.merge_packed_shards(packed_i, t_len,
                                            P // packed_i.shape[0])
-        cap = (len(packed_i) - 2) // 3
-        start, b, score, nk, nneed = seg.unpack_extract_rows(packed_i, cap)
-        k = min(nk, cap)
-        return start[:k], b[:k], score[:k], [nk], [nneed]
+        kcap = (len(packed_i) - 2) // 3
+        start, b, score, nk, nr = seg.unpack_extract_rows(packed_i, kcap)
+        k = min(nk, kcap)
+        return start[:k], b[:k], score[:k], [nk], [nr]
 
     @staticmethod
     def _merge_entry_ages(ages_i: np.ndarray, ns_kept):
